@@ -1,38 +1,460 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC replay on sf0.001. ``queries()``
+exposes one callable per implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline operator set); ``oracle_sql()`` gives the DuckDB
+equivalent over the same parquet views. Column names are aliased identically
+on both sides; float aggregates are rounded on both sides so the driver's
+value-hash compares stably.
+
+The CDC queries derive a deterministic change-event WAL from the shared
+``documents`` table (see ore_etl_spark/datagen/sql_wal.py) so the engine's
+replay semantics — vectorized payload decode, in-batch LWW dedup,
+delete/tombstone handling — are checkable against a pure SQL oracle.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ore_etl_spark.datagen.sql_wal import WAL_SQL, derive_wal
+from ore_etl_spark.operators.asof import asof_join_union
+from ore_etl_spark.operators.decode import decode_events
+from ore_etl_spark.operators.lww import dedupe_lww
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _utc(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC engine queries (SURVEY §2.1-2.3, §2.8 surfaces)
+# ---------------------------------------------------------------------------
+
+def q_cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full WAL replay -> converged state (S7+A7+T5 semantics).
+
+    Exercises the real operator chain: payload encode->vectorized decode
+    (identity on content), in-batch LWW dedup, DELETE filtering. Equivalent
+    to MergeTable replay collapsed to one batch (the multi-batch path is
+    covered by tests/test_apply_e2e.py against the pandas oracle).
+    """
+    wal = derive_wal(spark, sf_dir)
+    decoded = decode_events(wal).filter(F.col("is_valid"))
+    live = dedupe_lww(decoded, ["repo", "path"], ["commit_seq", "event_seq"])
+    return live.filter(F.col("op") != "DELETE").select(
+        "repo", "path", "commit", "lang", "commit_seq",
+        F.col("content_sha256"), F.col("content_len"),
+    )
+
+
+def q_cdc_wal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S5: watermark-bounded ordered scan with predicate pushdown."""
+    wal = derive_wal(spark, sf_dir, with_payload=False)
+    return wal.filter(
+        (F.col("commit_seq") > 1000000) & (F.col("commit_seq") <= 2000500)
+        & (F.col("op") != "DELETE")
+    ).select("repo", "path", "commit_seq", "event_seq", "op", "lang")
+
+
+def q_cdc_watermark_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S4: per-source-partition watermark range."""
+    wal = derive_wal(spark, sf_dir, with_payload=False)
+    return wal.groupBy("repo").agg(
+        F.min("commit_seq").alias("min_seq"),
+        F.max("commit_seq").alias("max_seq"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: in-batch LWW dedup — per repo, survivors and dropped counts."""
+    wal = derive_wal(spark, sf_dir, with_payload=False)
+    live = dedupe_lww(wal, ["repo", "path"], ["commit_seq", "event_seq"])
+    return live.groupBy("repo").agg(
+        F.count("*").alias("n_keys"),
+        F.max("commit_seq").alias("hwm"),
+        F.sum(F.when(F.col("op") == "DELETE", 1).otherwise(0)).alias("n_tombstones"),
+    )
+
+
+def q_cdc_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2: lag-based sequence-gap detection per stream partition."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gaps = ev.withColumn("prev_id", F.lag("event_id").over(w)).withColumn(
+        "gap", F.col("event_id") - F.col("prev_id")
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("gap").alias("max_gap"),
+        F.sum(F.when(F.col("gap") > 100, 1).otherwise(0)).alias("n_big_gaps"),
+    )
+
+
+def q_cdc_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: as-of join — each purchase gets the latest prior click (per user).
+
+    Union + ordered-window implementation (sort-merge as-of, one shuffle,
+    no row explosion) — the scalable replacement for the reference's
+    query-per-event lookup (reset-etl.ts:272-314).
+    """
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join_union(
+        purchases,
+        clicks.withColumnRenamed("event_id", "click_id"),
+        on=["user_id"], time_col="ts", value_cols=["click_id"], tie_col="click_id",
+    )
+    return out.select("event_id", "user_id", "click_id")
+
+
+# ---------------------------------------------------------------------------
+# Analytics probes (SURVEY §2.5-2.7)
+# ---------------------------------------------------------------------------
+
+def q_agg_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/W5: top-K by sum with count + countDistinct (top miners analog)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+def q_agg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: group by categorical: count/sum/avg (automation-vs-manual analog)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+def q_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/T9: daily tumbling-window stats."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A6: global aggregate (round-stats analog)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: bucketed histogram of event values."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", (F.floor(F.col("value") / 50) * 50).cast("long"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_agg_multi_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: N predicate-counts in one pass (vs reference's 7 scans)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_error"),
+        F.sum(F.when(F.col("value") > 500, 1).otherwise(0)).alias("n_high_value"),
+        F.sum(F.when(F.col("props").rlike('"k": 9'), 1).otherwise(0)).alias("n_k9"),
+    )
+
+
+def q_win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: running total per user over event order."""
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+def q_win_lag_downtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: downtime detection — per-user inter-event gaps > 1h."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # parquet ts is NTZ
+    gaps = ev.withColumn("gap_s", epoch - F.lag(epoch).over(w))
+    return gaps.filter(F.col("gap_s") > 3600).select(
+        "user_id", "event_id", "gap_s"
+    )
+
+
+def q_sort_recent_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: recent-N scan (sort desc + limit -> TakeOrderedAndProject)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(20)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the headline relational aggregate."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_two_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3: combine two aggregates on a shared key (per-round analog)."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    o_agg = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+    )
+    li_agg = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+    )
+    return o_agg.join(li_agg, "o_custkey", "outer").select(
+        "o_custkey", "n_orders", "total_spent", "total_qty"
+    )
+
+
+def q_explode_token_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: explode + group (square-popularity analog) over document tokens."""
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(25)
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_replay_state": q_cdc_replay_state,
+    "cdc_wal_scan": q_cdc_wal_scan,
+    "cdc_watermark_range": q_cdc_watermark_range,
+    "cdc_lww_dedup": q_cdc_lww_dedup,
+    "cdc_gap_audit": q_cdc_gap_audit,
+    "cdc_asof_join": q_cdc_asof_join,
+    "agg_top_users": q_agg_top_users,
+    "agg_by_type": q_agg_by_type,
+    "agg_daily": q_agg_daily,
+    "agg_global_stats": q_agg_global_stats,
+    "agg_histogram": q_agg_histogram,
+    "agg_multi_count": q_agg_multi_count,
+    "win_running_total": q_win_running_total,
+    "win_lag_downtime": q_win_lag_downtime,
+    "sort_recent_n": q_sort_recent_n,
+    "pricing_summary": q_pricing_summary,
+    "join_two_aggs": q_join_two_aggs,
+    "explode_token_popularity": q_explode_token_popularity,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_cdc_replay_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    wal = f"WITH wal AS ({WAL_SQL})"
+    return {
+        "cdc_replay_state": f"""
+            {wal}, ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY repo, path
+                ORDER BY commit_seq DESC, event_seq DESC) AS rn
+              FROM wal)
+            SELECT repo, path, commit, lang, commit_seq,
+                   sha256(content) AS content_sha256,
+                   length(content)::BIGINT AS content_len
+            FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+        """,
+        "cdc_wal_scan": f"""
+            {wal}
+            SELECT repo, path, commit_seq, event_seq, op, lang FROM wal
+            WHERE commit_seq > 1000000 AND commit_seq <= 2000500
+              AND op <> 'DELETE'
+        """,
+        "cdc_watermark_range": f"""
+            {wal}
+            SELECT repo, min(commit_seq) AS min_seq, max(commit_seq) AS max_seq,
+                   count(*) AS n_events
+            FROM wal GROUP BY repo
+        """,
+        "cdc_lww_dedup": f"""
+            {wal}, ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY repo, path
+                ORDER BY commit_seq DESC, event_seq DESC) AS rn
+              FROM wal)
+            SELECT repo, count(*) AS n_keys, max(commit_seq) AS hwm,
+                   sum(CASE WHEN op = 'DELETE' THEN 1 ELSE 0 END)::BIGINT AS n_tombstones
+            FROM ranked WHERE rn = 1 GROUP BY repo
+        """,
+        "cdc_gap_audit": """
+            WITH g AS (
+              SELECT user_id, event_id,
+                     event_id - lag(event_id) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS gap
+              FROM events)
+            SELECT user_id, count(*) AS n_events, max(gap) AS max_gap,
+                   sum(CASE WHEN gap > 100 THEN 1 ELSE 0 END)::BIGINT AS n_big_gaps
+            FROM g GROUP BY user_id
+        """,
+        "cdc_asof_join": """
+            SELECT p.event_id, p.user_id,
+                   (SELECT c.event_id FROM events c
+                     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                       AND c.ts <= p.ts
+                     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+            FROM events p WHERE p.event_type = 'purchase'
+        """,
+        "agg_top_users": """
+            SELECT user_id, round(sum(value), 4) AS total_value,
+                   count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types
+            FROM events GROUP BY user_id
+            ORDER BY total_value DESC, user_id ASC LIMIT 10
+        """,
+        "agg_by_type": """
+            SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "agg_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+                   count(DISTINCT user_id) AS n_users,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "agg_global_stats": """
+            SELECT count(*) AS n, count(DISTINCT user_id) AS n_users,
+                   min(event_id) AS min_id, max(event_id) AS max_id,
+                   round(avg(value), 6) AS avg_value
+            FROM events
+        """,
+        "agg_histogram": """
+            SELECT (floor(value / 50) * 50)::BIGINT AS bucket, count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "agg_multi_count": """
+            SELECT
+              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+              sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+              sum(CASE WHEN value > 500 THEN 1 ELSE 0 END)::BIGINT AS n_high_value,
+              sum(CASE WHEN regexp_matches(props, '"k": 9') THEN 1 ELSE 0 END)::BIGINT AS n_k9
+            FROM events
+        """,
+        "win_running_total": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (
+                     PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS running_value
+            FROM events
+        """,
+        "win_lag_downtime": """
+            WITH g AS (
+              SELECT user_id, event_id,
+                     floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+              FROM events)
+            SELECT user_id, event_id, gap_s FROM g WHERE gap_s > 3600
+        """,
+        "sort_recent_n": """
+            SELECT event_id, user_id, event_type FROM events
+            ORDER BY ts DESC, event_id DESC LIMIT 20
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_two_aggs": """
+            WITH o_agg AS (
+              SELECT o_custkey, count(*) AS n_orders,
+                     round(sum(o_totalprice), 4) AS total_spent
+              FROM orders GROUP BY o_custkey),
+            li_agg AS (
+              SELECT o.o_custkey, round(sum(l.l_quantity), 4) AS total_qty
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              GROUP BY o.o_custkey)
+            SELECT coalesce(o_agg.o_custkey, li_agg.o_custkey) AS o_custkey,
+                   n_orders, total_spent, total_qty
+            FROM o_agg FULL OUTER JOIN li_agg USING (o_custkey)
+        """,
+        "explode_token_popularity": """
+            WITH toks AS (
+              SELECT d.doc_id, t.token
+              FROM documents d,
+                   LATERAL unnest(string_split(d.text, ' ')) AS t(token)
+              WHERE t.token <> '')
+            SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+            FROM toks GROUP BY token ORDER BY n DESC, token ASC LIMIT 25
+        """,
+    }

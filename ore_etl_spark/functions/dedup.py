@@ -1,0 +1,146 @@
+"""Deduplication operators for training-data pipelines.
+
+Spark-first implementations, all shuffle-conscious:
+
+- exact: hash-groupBy on a normalized content digest (one shuffle).
+- MinHash + LSH: shingle -> K md5-derived minhashes -> band buckets ->
+  candidate pairs via self-join *within buckets only* (the LSH point: no
+  all-pairs shuffle; cost ~ sum over buckets of |bucket|^2).
+- SimHash: per-token md5 bit votes -> 32-bit signature; near-dups share
+  signature (or differ in few bits via banded lookup).
+- n-gram Jaccard: verification metric for candidate pairs (exact set
+  intersection over shingles) — used after LSH blocking, never all-pairs.
+- embedding cosine near-dup: see functions/similarity.py.
+
+Hashes are md5-based (not xxhash) so every step is reproducible in the
+DuckDB oracle — md5 exists on both engines and is endianness-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def norm_text(col: Column) -> Column:
+    return F.regexp_replace(F.lower(col), r"\s+", " ")
+
+
+def exact_digest(col: Column) -> Column:
+    return F.md5(norm_text(col))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact duplicates: digest -> n_docs, min id kept."""
+    return (
+        df.withColumn("digest", exact_digest(F.col(text_col)))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles as strings (distinct)."""
+    toks = F.filter(F.split(norm_text(col), " "), lambda t: t != "")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+        )
+    )
+
+
+def _md5_hash64(col: Column, salt: int) -> Column:
+    """Stable 60-bit integer hash from md5 (reproducible in DuckDB)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"s{salt}|"), col)), 1, 15), 16, 10
+    ).cast("decimal(20,0)").cast("long")
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 8) -> Column:
+    """Array of n minhash values over the shingle set."""
+    return F.array(*[
+        F.array_min(F.transform(shingle_col, lambda s: _md5_hash64(s, i)))
+        for i in range(n_hashes)
+    ])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Returns (id_a, id_b, band) with id_a < id_b. Scale path: the join is
+    an equi-join on (band, band_hash) — only same-bucket pairs shuffle.
+    """
+    n_bands = n_hashes // band_size
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(F.col(text_col), k_shingle), n_hashes).alias("sig"),
+    )
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",", *[F.element_at("sig", b * band_size + j + 1).cast("string")
+                               for j in range(band_size)]
+                    ).alias("band_key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    return pairs.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        F.col("a.band").alias("band"),
+    ).distinct()
+
+
+def simhash32(col: Column) -> Column:
+    """32-bit SimHash over word tokens (md5-derived bit votes).
+
+    bit_i(sig) = 1 iff sum over tokens of (+1 if bit_i(md5(tok)) else -1) > 0.
+    """
+    toks = F.filter(F.split(norm_text(col), " "), lambda t: t != "")
+    tok_hash = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    bits = []
+    for i in range(32):
+        vote = F.aggregate(
+            tok_hash,
+            F.lit(0).cast("long"),
+            lambda acc, h, i=i: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bits.append(F.when(vote > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ngram_jaccard(a: Column, b: Column, k: int = 3) -> Column:
+    """Exact Jaccard similarity of word k-shingle sets (verification step)."""
+    sa, sb = shingles(a, k), shingles(b, k)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.round(inter / F.greatest(union, F.lit(1)), 6)

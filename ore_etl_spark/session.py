@@ -1,0 +1,69 @@
+"""SparkSession factory tuned for the CDC engine.
+
+Local mode is a single JVM with N executor threads; on a real cluster the
+same conf applies per-executor. Defaults are chosen for shuffle-lean CDC
+apply jobs:
+
+- AQE on (runtime coalescing + skew-join splitting),
+- shuffle partitions ~ cores locally (the engine overrides per-table with
+  its bucket count at scale),
+- Arrow on for the vectorized pandas-UDF decode path,
+- UTC session timezone (oracle comparison: DuckDB timestamps are UTC-naive).
+
+Reference analog: the reference hard-codes its parallelism knobs
+(concurrency=4, BATCH_SIZE=1000; /root/reference/src/config/index.ts:21-29).
+Here parallelism is Spark's, and the only engine knob is bucket count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "ore-etl-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession for `local[cpus]`.
+
+    On a real cluster, callers pass ``master`` via spark-submit and this
+    factory only applies the SQL conf (the builder respects an existing
+    master). ``shuffle_partitions`` defaults to 2x cores locally — enough
+    to keep all threads busy through AQE coalescing without tiny-task
+    overhead.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cpus * 2, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+    )
+    if not os.environ.get("SPARK_GRAFT_EXISTING_MASTER"):
+        b = b.master(f"local[{cpus}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, str(v))
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,485 @@
+"""Bucketed copy-on-write MERGE table on parquet ("Iceberg-lite").
+
+The container has no Iceberg/Delta jars, so this module provides the keyed
+MERGE-upsert sink the engine needs, built only on parquet + atomic
+snapshot-pointer renames. The design mirrors Iceberg's public semantics:
+
+- **Snapshot isolation**: every commit writes a new immutable snapshot JSON
+  (``snapshots/v{N}.json``) and atomically flips the ``CURRENT`` pointer via
+  ``os.replace`` (atomic on POSIX). Readers resolve ``CURRENT`` once and see
+  a consistent file set.
+- **Bucket-level copy-on-write**: rows are hash-bucketed by key
+  (``pmod(xxhash64(*key), n_buckets)``). A MERGE only rewrites the buckets
+  its source batch touches; untouched buckets keep their existing file refs.
+  At 100 TB with e.g. 4096 buckets, a batch touching 1% of keys rewrites
+  ~1% of the table, and the target-side scan reads only touched buckets
+  (manifest-level partition pruning).
+- **Conditional last-writer-wins MERGE**: ``WHEN MATCHED AND
+  struct(src.version) > struct(tgt.version) THEN UPDATE/DELETE`` — strictly
+  stronger than the reference's unconditional Mongo ``$set`` upsert
+  (/root/reference/src/database/mongo-manager.ts:210-225), which silently
+  lets stale replays overwrite newer state (hazard documented in the
+  reference's own CODE-REVIEW.md:35-56).
+- **Tombstones**: DELETEs keep the key with ``_deleted=true`` + its version,
+  so an out-of-order older UPDATE arriving in a *later* batch still loses
+  LWW instead of resurrecting the row. ``read()`` filters tombstones;
+  ``compact()`` can GC them once the out-of-order horizon passes.
+- **Exactly-once**: each commit records its ``batch_id``; replaying a batch
+  whose id is already in the committed chain is a no-op
+  (``is_committed``). Because the batch_id lands in the same snapshot JSON
+  whose pointer-flip commits the data, "data applied" and "batch recorded"
+  are one atomic event — closing the reference's non-atomic
+  state-after-save window (deploy-etl.ts:52-72).
+- **Schema evolution**: additive columns and int→long / float→double
+  widening. Snapshots carry versioned schemas; old files are read with
+  their original schema and aligned (missing cols → NULL, narrow types →
+  CAST) to the current schema at scan time.
+
+Single-writer assumed (one driver loop per table), as in the reference's
+one-process-per-pipeline model. The cumulative ``applied_batch_ids`` list in
+the snapshot is fine for sandbox scale; at 10^10 events the TODO is a
+bloom-filter + retention window, noted in ``docs`` — the protocol is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BUCKET_COL = "_bucket"
+_DELETED_COL = "_deleted"
+
+# widening lattice: src type -> acceptable wider table type (and vice versa
+# when the batch brings the wider type, the table widens to it)
+_WIDEN = {
+    ("int", "bigint"): "bigint",
+    ("smallint", "int"): "int",
+    ("smallint", "bigint"): "bigint",
+    ("tinyint", "smallint"): "smallint",
+    ("tinyint", "int"): "int",
+    ("tinyint", "bigint"): "bigint",
+    ("float", "double"): "double",
+    ("int", "double"): "double",
+    ("bigint", "double"): "double",
+}
+
+
+def _wider(a: str, b: str) -> str | None:
+    if a == b:
+        return a
+    return _WIDEN.get((a, b)) or _WIDEN.get((b, a))
+
+
+@dataclass
+class MergeMetrics:
+    batch_id: str
+    version: int
+    n_source: int = 0
+    n_inserted: int = 0
+    n_updated: int = 0
+    n_stale_ignored: int = 0
+    n_deleted: int = 0
+    n_buckets_touched: int = 0
+    skipped_already_committed: bool = False
+
+
+class MergeTable:
+    """A keyed, versioned, MERGE-able table on plain parquet."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ---------------------------------------------------------------- setup
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        version_cols: list[str],
+        n_buckets: int = 32,
+    ) -> "MergeTable":
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        for c in key_cols + version_cols:
+            if c not in schema.fieldNames():
+                raise ValueError(f"key/version column {c!r} not in schema")
+        snap = {
+            "version": 0,
+            "parent": None,
+            "batch_id": None,
+            "applied_batch_ids": [],
+            "key_cols": key_cols,
+            "version_cols": version_cols,
+            "n_buckets": n_buckets,
+            "schemas": {"0": schema.json()},
+            "current_schema_id": "0",
+            "refs": [],
+        }
+        t = cls(spark, root)
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "MergeTable":
+        t = cls(spark, root)
+        t.snapshot()  # raises if missing
+        return t
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(root, "CURRENT"))
+
+    # ------------------------------------------------------------ snapshots
+    def snapshot(self) -> dict:
+        with open(os.path.join(self.root, "CURRENT")) as f:
+            ver = f.read().strip()
+        with open(os.path.join(self.root, "snapshots", f"{ver}.json")) as f:
+            return json.load(f)
+
+    def _write_snapshot(self, snap: dict) -> None:
+        name = f"v{snap['version']}"
+        path = os.path.join(self.root, "snapshots", f"{name}.json")
+        with open(path, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = os.path.join(self.root, f".CURRENT.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.root, "CURRENT"))  # atomic commit
+
+    @property
+    def version(self) -> int:
+        return self.snapshot()["version"]
+
+    def schema(self, snap: dict | None = None) -> T.StructType:
+        snap = snap or self.snapshot()
+        return T.StructType.fromJson(
+            json.loads(snap["schemas"][snap["current_schema_id"]])
+        )
+
+    def is_committed(self, batch_id: str, snap: dict | None = None) -> bool:
+        snap = snap or self.snapshot()
+        return batch_id in snap["applied_batch_ids"]
+
+    # ----------------------------------------------------------------- read
+    def _align(self, df: DataFrame, target: T.StructType) -> DataFrame:
+        cols = []
+        have = {f.name: f for f in df.schema.fields}
+        for f in target.fields:
+            if f.name in have:
+                if have[f.name].dataType == f.dataType:
+                    cols.append(F.col(f.name))
+                else:
+                    cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    def _read_refs(self, snap: dict, refs: list[dict], with_deleted: bool) -> DataFrame:
+        target = self.schema(snap)
+        full = T.StructType(
+            target.fields + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
+        )
+        if not refs:
+            return self.spark.createDataFrame([], full if with_deleted else target)
+        by_schema: dict[str, list[str]] = {}
+        for r in refs:
+            by_schema.setdefault(r["schema_id"], []).append(
+                os.path.join(self.root, r["path"])
+            )
+        parts = []
+        for sid, paths in by_schema.items():
+            stored = T.StructType.fromJson(json.loads(snap["schemas"][sid]))
+            stored = T.StructType(
+                stored.fields + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
+            )
+            parts.append(self._align(self.spark.read.schema(stored).parquet(*paths), full))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if not with_deleted:
+            df = df.filter(~F.col(_DELETED_COL)).drop(_DELETED_COL)
+        return df
+
+    def read(self, with_deleted: bool = False) -> DataFrame:
+        snap = self.snapshot()
+        return self._read_refs(snap, snap["refs"], with_deleted)
+
+    def read_buckets(self, bucket_ids: list[int], with_deleted: bool = False) -> DataFrame:
+        """Manifest-level partition pruning: scan only the named buckets."""
+        snap = self.snapshot()
+        want = set(bucket_ids)
+        refs = [r for r in snap["refs"] if r["bucket"] in want]
+        return self._read_refs(snap, refs, with_deleted)
+
+    def bucket_expr(self, snap: dict | None = None):
+        snap = snap or self.snapshot()
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in snap["key_cols"]]),
+            F.lit(snap["n_buckets"]),
+        ).cast("int")
+
+    # ---------------------------------------------------------------- write
+    def _evolve_schema(self, snap: dict, src_schema: T.StructType) -> tuple[dict, bool]:
+        """Additive columns + type widening; returns (snap, changed)."""
+        cur = self.schema(snap)
+        fields = list(cur.fields)
+        names = {f.name: i for i, f in enumerate(fields)}
+        changed = False
+        for f in src_schema.fields:
+            if f.name.startswith("_"):
+                continue
+            if f.name not in names:
+                fields.append(T.StructField(f.name, f.dataType, True))
+                names[f.name] = len(fields) - 1
+                changed = True
+            else:
+                cur_f = fields[names[f.name]]
+                if cur_f.dataType != f.dataType:
+                    w = _wider(cur_f.dataType.simpleString(), f.dataType.simpleString())
+                    if w is None:
+                        raise ValueError(
+                            f"incompatible type change for {f.name}: "
+                            f"{cur_f.dataType.simpleString()} -> {f.dataType.simpleString()}"
+                        )
+                    if w != cur_f.dataType.simpleString():
+                        fields[names[f.name]] = T.StructField(
+                            f.name, T._parse_datatype_string(w), True
+                        )
+                        changed = True
+        if changed:
+            new_id = str(len(snap["schemas"]))
+            snap = dict(snap)
+            snap["schemas"] = dict(snap["schemas"])
+            snap["schemas"][new_id] = T.StructType(fields).json()
+            snap["current_schema_id"] = new_id
+        return snap, changed
+
+    def merge(
+        self,
+        source: DataFrame,
+        batch_id: str,
+        op_col: str | None = "op",
+        delete_value: str = "DELETE",
+        evolve_schema: bool = True,
+        collect_metrics: bool = True,
+    ) -> MergeMetrics:
+        """Conditional-LWW MERGE of `source` into the table.
+
+        `source` must contain key + version columns; duplicates per key are
+        resolved first (in-batch LWW — mandatory before any keyed merge,
+        mirroring SURVEY A7). If `op_col` is present, rows whose op equals
+        `delete_value` become tombstones. Idempotent by `batch_id`.
+        """
+        snap = self.snapshot()
+        if self.is_committed(batch_id, snap):
+            return MergeMetrics(batch_id=batch_id, version=snap["version"],
+                                skipped_already_committed=True)
+
+        key_cols = snap["key_cols"]
+        version_cols = snap["version_cols"]
+        has_op = op_col is not None and op_col in source.columns
+
+        if evolve_schema:
+            data_schema = T.StructType(
+                [f for f in source.schema.fields
+                 if f.name != op_col and not f.name.startswith("_")]
+            )
+            snap, _ = self._evolve_schema(snap, data_schema)
+        target_schema = self.schema(snap)
+
+        # --- in-batch LWW dedup (one survivor per key) -------------------
+        from ..operators.lww import dedupe_lww
+
+        src = dedupe_lww(source, key_cols, version_cols)
+        src = src.withColumn(
+            _DELETED_COL,
+            (F.col(op_col) == F.lit(delete_value)) if has_op else F.lit(False),
+        )
+        src = self._align(
+            src,
+            T.StructType(target_schema.fields
+                         + [T.StructField(_DELETED_COL, T.BooleanType(), True)]),
+        )
+        src = src.withColumn(_BUCKET_COL, self.bucket_expr(snap))
+
+        # --- bucket pruning ----------------------------------------------
+        touched = sorted(
+            r[_BUCKET_COL]
+            for r in src.select(_BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            new_snap = self._advance(snap, batch_id, {}, set())
+            self._write_snapshot(new_snap)
+            return MergeMetrics(batch_id=batch_id, version=new_snap["version"])
+
+        tgt_refs = [r for r in snap["refs"] if r["bucket"] in set(touched)]
+        tgt = self._read_refs(snap, tgt_refs, with_deleted=True)
+        tgt = tgt.withColumn(_BUCKET_COL, self.bucket_expr(snap))
+
+        # --- resolve: full outer join on key, conditional LWW ------------
+        skey = [F.col(f"s.{c}") for c in key_cols]
+        tkey = [F.col(f"t.{c}") for c in key_cols]
+        cond = None
+        for a, b in zip(skey, tkey):
+            c = a == b
+            cond = c if cond is None else (cond & c)
+        j = src.alias("s").join(tgt.alias("t"), cond, "full_outer")
+
+        s_ver = F.struct(*[F.col(f"s.{c}") for c in version_cols])
+        t_ver = F.struct(*[F.col(f"t.{c}") for c in version_cols])
+        s_present = F.col(f"s.{key_cols[0]}").isNotNull()
+        t_present = F.col(f"t.{key_cols[0]}").isNotNull()
+        take_src = s_present & (~t_present | (s_ver > t_ver))
+
+        out_cols = [
+            F.when(take_src, F.col(f"s.{f.name}"))
+            .otherwise(F.col(f"t.{f.name}"))
+            .alias(f.name)
+            for f in target_schema.fields
+        ] + [
+            F.when(take_src, F.col(f"s.{_DELETED_COL}"))
+            .otherwise(F.col(f"t.{_DELETED_COL}"))
+            .alias(_DELETED_COL),
+            F.coalesce(F.col(f"s.{_BUCKET_COL}"), F.col(f"t.{_BUCKET_COL}"))
+            .alias(_BUCKET_COL),
+        ]
+        if collect_metrics:
+            out_cols.append(
+                F.when(take_src & ~t_present, F.lit("insert"))
+                .when(take_src & t_present, F.lit("update"))
+                .when(s_present & ~(s_ver > t_ver), F.lit("stale"))
+                .otherwise(F.lit("carry"))
+                .alias("_action")
+            )
+        merged = j.select(*out_cols)
+
+        metrics = MergeMetrics(batch_id=batch_id, version=snap["version"] + 1,
+                               n_buckets_touched=len(touched))
+        if collect_metrics:
+            merged = merged.persist()
+            agg = merged.agg(
+                F.sum(F.when(F.col("_action") == "insert", 1).otherwise(0)).alias("ins"),
+                F.sum(F.when(F.col("_action") == "update", 1).otherwise(0)).alias("upd"),
+                F.sum(F.when(F.col("_action") == "stale", 1).otherwise(0)).alias("stale"),
+                F.sum(
+                    F.when((F.col("_action").isin("insert", "update"))
+                           & F.col(_DELETED_COL), 1).otherwise(0)
+                ).alias("del"),
+            ).collect()[0]
+            metrics.n_inserted = agg["ins"] or 0
+            metrics.n_updated = agg["upd"] or 0
+            metrics.n_stale_ignored = agg["stale"] or 0
+            metrics.n_deleted = agg["del"] or 0
+            merged = merged.drop("_action")
+
+        # --- write new files for touched buckets --------------------------
+        new_ver = snap["version"] + 1
+        rel_dir = os.path.join("data", f"v{new_ver}")
+        out_dir = os.path.join(self.root, rel_dir)
+        (merged.repartition(max(1, min(len(touched), 200)), F.col(_BUCKET_COL))
+               .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir))
+        if collect_metrics:
+            merged.unpersist()
+
+        written = {}
+        for name in os.listdir(out_dir):
+            if name.startswith(f"{_BUCKET_COL}="):
+                b = int(name.split("=", 1)[1])
+                written[b] = os.path.join(rel_dir, name)
+
+        new_snap = self._advance(snap, batch_id, written, set(touched))
+        self._write_snapshot(new_snap)
+        metrics.version = new_ver
+        if collect_metrics:
+            lin = self._lineage_rows(batch_id, new_ver, metrics)
+            self._append_lineage(lin)
+        return metrics
+
+    def _advance(self, snap: dict, batch_id: str, written: dict, touched: set) -> dict:
+        sid = snap["current_schema_id"]
+        refs = [r for r in snap["refs"] if r["bucket"] not in touched]
+        for b, rel in written.items():
+            refs.append({"path": rel, "bucket": b, "schema_id": sid})
+        return {
+            **snap,
+            "version": snap["version"] + 1,
+            "parent": snap["version"],
+            "batch_id": batch_id,
+            "applied_batch_ids": snap["applied_batch_ids"] + [batch_id],
+            "refs": refs,
+        }
+
+    # ------------------------------------------------------------- lineage
+    def _lineage_rows(self, batch_id: str, version: int, m: MergeMetrics):
+        return [
+            {
+                "batch_id": batch_id,
+                "version": version,
+                "n_inserted": m.n_inserted,
+                "n_updated": m.n_updated,
+                "n_stale_ignored": m.n_stale_ignored,
+                "n_deleted": m.n_deleted,
+                "n_buckets_touched": m.n_buckets_touched,
+            }
+        ]
+
+    def _append_lineage(self, rows: list[dict]) -> None:
+        path = os.path.join(self.root, "lineage.jsonl")
+        with open(path, "a") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def lineage(self) -> list[dict]:
+        path = os.path.join(self.root, "lineage.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    # -------------------------------------------------------------- repair
+    def update_where(self, condition, assignments: dict, batch_id: str) -> MergeMetrics:
+        """Column-repair pass (reference fix-squares, SURVEY T10): rewrite
+        rows matching `condition` with `assignments`, as an UPDATE-only merge
+        that bumps no version (in-place repair, all buckets touched by the
+        predicate)."""
+        snap = self.snapshot()
+        if self.is_committed(batch_id, snap):
+            return MergeMetrics(batch_id=batch_id, version=snap["version"],
+                                skipped_already_committed=True)
+        cur = self.read(with_deleted=True).withColumn(_BUCKET_COL, self.bucket_expr(snap))
+        fixed = cur
+        n_fixed = cur.filter(condition & ~F.col(_DELETED_COL)).count()
+        for col, expr in assignments.items():
+            fixed = fixed.withColumn(
+                col, F.when(condition & ~F.col(_DELETED_COL), expr).otherwise(F.col(col))
+            )
+        new_ver = snap["version"] + 1
+        rel_dir = os.path.join("data", f"v{new_ver}")
+        out_dir = os.path.join(self.root, rel_dir)
+        fixed.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir)
+        written = {}
+        for name in os.listdir(out_dir):
+            if name.startswith(f"{_BUCKET_COL}="):
+                b = int(name.split("=", 1)[1])
+                written[b] = os.path.join(rel_dir, name)
+        all_buckets = {r["bucket"] for r in snap["refs"]}
+        new_snap = self._advance(snap, batch_id, written, all_buckets)
+        self._write_snapshot(new_snap)
+        m = MergeMetrics(batch_id=batch_id, version=new_ver,
+                         n_updated=n_fixed, n_buckets_touched=len(written))
+        self._append_lineage(self._lineage_rows(batch_id, new_ver, m))
+        return m

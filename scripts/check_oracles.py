@@ -1,0 +1,95 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every entry in __spark_entry__.queries() at sf0.01 and compares to the
+matching oracle_sql() via DuckDB: row count, column names, and an
+order-insensitive value comparison (rows sorted by all columns, column order
+by name). Usage:  python scripts/check_oracles.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from ore_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    """Normalize a cell to a comparable string (driver-hash approximation)."""
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<null>"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{round(v, 6):.6f}"
+    return str(v)
+
+
+def main():
+    only = set(sys.argv[1:])
+    spark = get_spark("oracle-check", cpus=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            print(f"{name:35s} rows-only: {n} rows")
+            continue
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"{name:35s} ERROR: {e}")
+            failures.append(name)
+            continue
+        s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
+        if s_cols != o_cols:
+            print(f"{name:35s} SCHEMA MISMATCH spark={s_cols} oracle={o_cols}")
+            failures.append(name)
+            continue
+        if len(sdf) != len(odf):
+            print(f"{name:35s} ROWCOUNT MISMATCH spark={len(sdf)} oracle={len(odf)}")
+            failures.append(name)
+            continue
+        srows = sorted(
+            tuple(norm(v) for v in row)
+            for row in sdf[s_cols].itertuples(index=False, name=None)
+        )
+        orows = sorted(
+            tuple(norm(v) for v in row)
+            for row in odf[s_cols].itertuples(index=False, name=None)
+        )
+        if srows != orows:
+            bad = next(i for i, (a, b) in enumerate(zip(srows, orows)) if a != b)
+            print(f"{name:35s} VALUE MISMATCH at sorted row {bad}:")
+            print(f"  spark : {srows[bad]}")
+            print(f"  oracle: {orows[bad]}")
+            failures.append(name)
+        else:
+            print(f"{name:35s} OK ({len(sdf)} rows)")
+    if failures:
+        print(f"\nFAILED: {failures}")
+        sys.exit(1)
+    print("\nall oracles OK")
+
+
+if __name__ == "__main__":
+    main()

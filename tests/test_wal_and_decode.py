@@ -1,0 +1,89 @@
+"""WAL generator determinism + decode operator parity (JVM vs pandas UDF)."""
+
+from pyspark.sql import functions as F
+
+from ore_etl_spark.datagen.wal import decode_payload_py, generate_wal
+from ore_etl_spark.operators.decode import (
+    b58decode_py,
+    b58encode_py,
+    decode_events,
+    decode_events_pandas,
+)
+
+
+def test_wal_is_deterministic_across_parallelism(spark):
+    a = generate_wal(spark, n_keys=200, n_partitions=4).orderBy("event_id", "delivery_seq")
+    b = (
+        generate_wal(spark, n_keys=200, n_partitions=4)
+        .repartition(17)
+        .orderBy("event_id", "delivery_seq")
+    )
+    assert [r.asDict() for r in a.collect()] == [r.asDict() for r in b.collect()]
+
+
+def test_wal_adversarial_properties(spark):
+    ev = generate_wal(spark, n_keys=1000).persist()
+    n = ev.count()
+    # duplicates present (~1%)
+    n_dup = n - ev.dropDuplicates(["event_id", "delivery_seq"]).count()
+    assert n_dup >= 0  # verbatim dup rows differ only in delivery_seq
+    dup_ids = ev.groupBy("event_id").count().filter("count > 1").count()
+    assert 0 < dup_ids < n * 0.05
+    # hot repo >= 20%
+    top = ev.groupBy("repo").count().orderBy(F.desc("count")).first()
+    assert top["count"] / n >= 0.20
+    # corrupt payloads ~0.5%
+    bad = decode_events(ev).filter(~F.col("is_valid")).count()
+    assert 0 < bad < n * 0.02
+    # late deliveries: delivery order != commit order for some rows
+    late = ev.filter(F.col("delivery_seq") != F.col("commit_seq") * 10).count()
+    assert 0 < late
+    # schema evolution: size_bytes only appears above the threshold
+    with_sb = ev.filter(F.col("size_bytes").isNotNull())
+    without_sb = ev.filter(F.col("size_bytes").isNull())
+    assert with_sb.count() > 0
+    assert (
+        with_sb.agg(F.min("commit_seq")).first()[0]
+        > without_sb.agg(F.min("commit_seq")).first()[0]
+    )
+    ev.unpersist()
+
+
+def test_decode_jvm_matches_pandas_udf(spark):
+    ev = generate_wal(spark, n_keys=300)
+    cols = ["event_id", "delivery_seq", "payload_version", "content",
+            "content_len", "content_sha256", "is_valid"]
+    jvm = decode_events(ev).select(cols).orderBy("event_id", "delivery_seq")
+    pud = decode_events_pandas(ev).select(cols).orderBy("event_id", "delivery_seq")
+    assert [r.asDict() for r in jvm.collect()] == [r.asDict() for r in pud.collect()]
+
+
+def test_decode_matches_python_oracle(spark):
+    rows = generate_wal(spark, n_keys=100).select("payload").collect()
+    ev = generate_wal(spark, n_keys=100)
+    decoded = decode_events(ev).select("payload", "payload_version", "content",
+                                       "is_valid").collect()
+    assert len(rows) == len(decoded)
+    for r in decoded:
+        oracle = decode_payload_py(r["payload"])
+        if oracle is None:
+            assert not r["is_valid"]
+        else:
+            assert r["is_valid"]
+            assert (r["payload_version"], r["content"]) == oracle
+
+
+def test_base58_roundtrip(spark):
+    import os
+
+    for raw in [b"\x00\x00hello", b"", b"\x01", os.urandom(32)]:
+        enc = b58encode_py(raw)
+        assert b58decode_py(enc) == raw
+    # vectorized UDF agrees with python fn
+    df = spark.createDataFrame([("3yZe7d",), ("11abc",)], "s string")
+    got = df.select(F.col("s")).collect()
+    from ore_etl_spark.operators.decode import b58decode_udf
+
+    out = df.withColumn("b", b58decode_udf()("s")).collect()
+    for r_in, r_out in zip(got, out):
+        assert bytes(r_out["b"]) == b58decode_py(r_in["s"])
