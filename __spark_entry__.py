@@ -126,6 +126,20 @@ def q_cdc_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Analytics probes (SURVEY §2.5-2.7)
 # ---------------------------------------------------------------------------
 
+def q_cdc_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: undecodable payloads -> quarantine, never fail the batch.
+
+    The engine decides validity from the payload bytes alone; the oracle
+    recomputes the corrupt set from the WAL derivation rule. Counts must
+    match per repo."""
+    wal = derive_wal(spark, sf_dir)
+    bad = decode_events(wal).filter(~F.col("is_valid"))
+    return bad.groupBy("repo").agg(
+        F.count("*").alias("n_quarantined"),
+        F.min("commit_seq").alias("first_bad_seq"),
+    )
+
+
 def q_agg_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/W5: top-K by sum with count + countDistinct (top miners analog)."""
     ev = _read(spark, sf_dir, "events")
@@ -283,6 +297,117 @@ def q_explode_token_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (first-class: dedup / text / similarity)
+# ---------------------------------------------------------------------------
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + token counting + lang-id heuristic per document."""
+    from ore_etl_spark.functions.text import (
+        lang_id, mean_token_len, punct_ratio, quality_score, stopword_ratio,
+        token_count, word_token_count,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        word_token_count(c).alias("n_word_tokens"),
+        punct_ratio(c).alias("punct_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        mean_token_len(c).alias("mean_token_len"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by normalized-content digest (hash groupBy)."""
+    from ore_etl_spark.functions.dedup import exact_dup_groups
+
+    d = _read(spark, sf_dir, "documents")
+    return exact_dup_groups(d)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (shingle -> minhash -> band -> bucket join)."""
+    from ore_etl_spark.functions.dedup import minhash_lsh_candidates
+
+    d = _read(spark, sf_dir, "documents")
+    return (
+        minhash_lsh_candidates(d, n_hashes=8, band_size=2)
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per document + docs sharing a signature."""
+    from ore_etl_spark.functions.dedup import simhash16
+
+    d = _read(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+    return sigs.groupBy("simhash").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard verification over LSH candidate pairs (never all-pairs)."""
+    from ore_etl_spark.functions.dedup import minhash_lsh_candidates, ngram_jaccard
+
+    d = _read(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(d, n_hashes=8, band_size=2) \
+        .select("id_a", "id_b").distinct()
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    joined = cands.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+    return joined.select(
+        "id_a", "id_b",
+        ngram_jaccard(F.col("text_a"), F.col("text_b")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.2)
+
+
+def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 query embedding."""
+    from ore_etl_spark.functions.similarity import cosine_topk_brute
+
+    e = _read(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk_brute(e.filter(F.col("vec_id") != 0), list(qvec),
+                             k=10, round_to=4)
+
+
+def q_sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm + count (embedding column aggregates:
+    element-wise array mean via posexplode -> groupBy, the scalable shape)."""
+    e = _read(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    cent = ex.groupBy("label", "dim").agg(
+        F.avg(F.col("x").cast("double")).alias("c"),
+        F.count("*").alias("n"),
+    )
+    return cent.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 4).alias("centroid_norm"),
+        F.max("n").alias("n_vectors"),
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media column -> typed metadata struct
+    via Arrow-batched mapInPandas (decode stubbed; see functions/multimodal).
+    Rows-only check (mapInPandas has no SQL twin)."""
+    from ore_etl_spark.functions.multimodal import extract_media_meta
+
+    d = _read(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("media"))
+    out = extract_media_meta(media, "media")
+    return out.select(
+        "doc_id", F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("media_sha256"), F.col("meta.format").alias("format"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_replay_state": q_cdc_replay_state,
     "cdc_wal_scan": q_cdc_wal_scan,
@@ -290,6 +415,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_gap_audit": q_cdc_gap_audit,
     "cdc_asof_join": q_cdc_asof_join,
+    "cdc_quarantine_audit": q_cdc_quarantine_audit,
     "agg_top_users": q_agg_top_users,
     "agg_by_type": q_agg_by_type,
     "agg_daily": q_agg_daily,
@@ -302,6 +428,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "join_two_aggs": q_join_two_aggs,
     "explode_token_popularity": q_explode_token_popularity,
+    "text_features": q_text_features,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "sim_topk_cosine": q_sim_topk_cosine,
+    "sim_label_centroid": q_sim_label_centroid,
+    "multimodal_meta": q_multimodal_meta,
 }
 
 
@@ -315,6 +449,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ore_etl_spark.functions.text import LANG_MARKERS, STOPWORDS
+
+    def sql_list(words):
+        return ", ".join(f"'{w}'" for w in words)
+
+    stop_in = sql_list(STOPWORDS)
+    hits = {
+        lang: ("len(list_filter(lt, t -> list_contains(["
+               + sql_list(LANG_MARKERS[lang]) + "], t)))")
+        for lang in sorted(LANG_MARKERS)
+    }
+    # argmax with greatest-lang-code tie-break (mirrors struct array_max)
+    lang_case = f"""CASE
+        WHEN greatest({hits['de']}, {hits['en']}, {hits['es']}, {hits['fr']}) = 0
+          THEN 'und'
+        WHEN {hits['fr']} >= {hits['es']} AND {hits['fr']} >= {hits['en']}
+         AND {hits['fr']} >= {hits['de']} THEN 'fr'
+        WHEN {hits['es']} >= {hits['en']} AND {hits['es']} >= {hits['de']} THEN 'es'
+        WHEN {hits['en']} >= {hits['de']} THEN 'en'
+        ELSE 'de' END"""
+
+    # shared LSH CTEs (tokens -> 3-shingles -> 8 md5-string minhashes ->
+    # 4 bands of 2 -> same-bucket candidate pairs); mirrors functions/dedup
+    mh_list = ", ".join(
+        f"list_min(list_transform(sg, s -> md5('s{i}|' || s)))" for i in range(8)
+    )
+    lsh_ctes = f"""
+        toks AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(
+                   regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                   t -> t <> '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sg
+          FROM toks),
+        sig AS (SELECT doc_id, [{mh_list}] AS mh FROM sh),
+        bands AS (
+          SELECT doc_id, b.band,
+                 mh[b.band * 2 + 1] || ',' || mh[b.band * 2 + 2] AS band_key
+          FROM sig, LATERAL unnest([0, 1, 2, 3]) AS b(band)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, a.band
+          FROM bands a JOIN bands b2
+            ON a.band = b2.band AND a.band_key = b2.band_key
+           AND a.doc_id < b2.doc_id)
+    """
+
     wal = f"WITH wal AS ({WAL_SQL})"
     return {
         "cdc_replay_state": f"""
@@ -322,11 +506,116 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (
                 PARTITION BY repo, path
                 ORDER BY commit_seq DESC, event_seq DESC) AS rn
-              FROM wal)
+              FROM wal WHERE NOT corrupt)
             SELECT repo, path, commit, lang, commit_seq,
                    sha256(content) AS content_sha256,
                    length(content)::BIGINT AS content_len
             FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+        """,
+        "cdc_quarantine_audit": f"""
+            {wal}
+            SELECT repo, count(*) AS n_quarantined,
+                   min(commit_seq) AS first_bad_seq
+            FROM wal WHERE corrupt GROUP BY repo
+        """,
+        "text_features": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk,
+                list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '') AS lt
+              FROM documents),
+            feats AS (
+              SELECT doc_id, text, tk, lt,
+                len(tk) AS n_tokens,
+                len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                    t -> t <> '')) AS n_word_tokens,
+                round((length(text) - length(regexp_replace(text, '[^\\w\\s]',
+                       '', 'g'))) / greatest(length(text), 1), 6) AS punct_ratio,
+                round(len(list_filter(lt, t -> list_contains([{stop_in}], t)))
+                      / greatest(len(lt), 1), 6) AS stopword_ratio,
+                round(coalesce(list_sum(list_transform(tk, t -> length(t))), 0)
+                      / greatest(len(tk), 1), 6) AS mean_token_len,
+                {lang_case} AS lang_pred
+              FROM base)
+            SELECT doc_id, n_tokens, n_word_tokens, punct_ratio,
+                   stopword_ratio, mean_token_len,
+                   round((least(length(text) / 500.0, 1.0)
+                          + greatest(0.0, 1.0 - punct_ratio * 5)
+                          + least(stopword_ratio * 4, 1.0)) / 3, 6) AS quality,
+                   lang_pred
+            FROM feats
+        """,
+        "dedup_exact": """
+            SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS digest,
+                   count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {lsh_ctes}
+            SELECT id_a, id_b, count(*) AS n_bands FROM cand GROUP BY 1, 2
+        """,
+        "dedup_simhash": """
+            WITH tok AS (
+              SELECT doc_id, u.tok
+              FROM (SELECT doc_id,
+                      list_filter(string_split(
+                        regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                        t -> t <> '') AS tk
+                    FROM documents) d,
+                   LATERAL unnest(d.tk) AS u(tok)),
+            th AS (
+              SELECT doc_id,
+                (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS h
+              FROM tok),
+            votes AS (
+              SELECT doc_id, b.i,
+                     sum(CASE WHEN (h // (1 << b.i)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th, LATERAL unnest(generate_series(0, 15)) AS b(i)
+              GROUP BY doc_id, b.i),
+            sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (1 << i) ELSE 0 END)::BIGINT AS simhash
+              FROM votes GROUP BY doc_id)
+            SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+            FROM sig GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {lsh_ctes},
+            pairs AS (SELECT DISTINCT id_a, id_b FROM cand),
+            j AS (
+              SELECT p.id_a, p.id_b,
+                round(len(list_filter(sa.sg, s -> list_contains(sb.sg, s)))
+                      / greatest(len(sa.sg) + len(sb.sg)
+                        - len(list_filter(sa.sg, s -> list_contains(sb.sg, s))),
+                        1), 6) AS jaccard
+              FROM pairs p
+              JOIN sh sa ON sa.doc_id = p.id_a
+              JOIN sh sb ON sb.doc_id = p.id_b)
+            SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2
+        """,
+        "sim_topk_cosine": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]),
+                     4) AS cos_sim
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "sim_label_centroid": """
+            WITH ex AS (
+              SELECT label, d.dim, embedding[d.dim]::DOUBLE AS x
+              FROM embeddings,
+                   LATERAL unnest(generate_series(1, len(embedding))) AS d(dim)),
+            cent AS (
+              SELECT label, dim, avg(x) AS c, count(*) AS n
+              FROM ex GROUP BY 1, 2)
+            SELECT label, round(sqrt(sum(c * c)), 4) AS centroid_norm,
+                   max(n) AS n_vectors
+            FROM cent GROUP BY label
         """,
         "cdc_wal_scan": f"""
             {wal}

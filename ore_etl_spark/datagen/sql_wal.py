@@ -58,10 +58,23 @@ def derive_wal(spark: SparkSession, sf_dir: str, with_payload: bool = True) -> D
             ),
         )
     )
-    cols = ["repo", "path", "commit", "lang", "commit_seq", "event_seq", "op", "content"]
+    # ~1% of events get a truncated payload -> must land in quarantine
+    # (reference 12-byte-deploy analog, DEPLOY-PARSE-ANALYSIS.md:63-73);
+    # the flag is SQL-derivable so the oracle can exclude/count them
+    w = w.withColumn("corrupt", (F.col("doc_id") * 31 + F.col("v") * 7) % 97 == 0)
+    cols = ["repo", "path", "commit", "lang", "commit_seq", "event_seq", "op"]
     if with_payload:
-        w = w.withColumn("payload", payload_expr(F.col("content"), F.col("v")))
+        w = w.withColumn(
+            "payload",
+            F.when(F.col("corrupt"),
+                   F.substring(payload_expr(F.col("content"), F.col("v")), 1, 6))
+            .otherwise(payload_expr(F.col("content"), F.col("v"))),
+        )
+        # plaintext content/corrupt are NOT exposed with the payload — the
+        # engine must recover content via decode (that's the invariant)
         cols.append("payload")
+    else:
+        cols += ["content", "corrupt"]
     return w.select(*cols)
 
 
@@ -77,6 +90,7 @@ WAL_SQL = """
          CASE WHEN t.v = 0 THEN 'INSERT'
               WHEN t.v = d.doc_id % 3 AND d.doc_id % 7 = 0 THEN 'DELETE'
               ELSE 'UPDATE' END AS op,
-         d.text || '|v' || t.v AS content
+         d.text || '|v' || t.v AS content,
+         (d.doc_id * 31 + t.v * 7) % 97 = 0 AS corrupt
   FROM documents d, LATERAL unnest(generate_series(0, d.doc_id % 3)) AS t(v)
 """

@@ -84,7 +84,7 @@ def minhash_lsh_candidates(
     n_bands = n_hashes // band_size
     sig = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(shingles(F.col(text_col), k_shingle), n_hashes).alias("sig"),
+        minhash_signature_str(shingles(F.col(text_col), k_shingle), n_hashes).alias("sig"),
     )
     bands = sig.select(
         "id",
@@ -114,6 +114,44 @@ def minhash_lsh_candidates(
     ).distinct()
 
 
+def minhash_signature_str(shingle_col: Column, n_hashes: int = 8) -> Column:
+    """Minhash via lexicographic MIN of salted md5 hex strings.
+
+    Equivalent quality to integer minhash (md5 is uniform), but the value
+    is engine-portable: DuckDB/Spark/Trino all agree on md5 hex and on
+    string ordering, so LSH band keys match across engines bit-for-bit
+    without any hex->int conversion."""
+    def salted(i: int):
+        # factory closure: a 2-param lambda would be read as (elem, idx)
+        return lambda s: F.md5(F.concat(F.lit(f"s{i}|"), s))
+
+    return F.array(*[
+        F.array_min(F.transform(shingle_col, salted(i))) for i in range(n_hashes)
+    ])
+
+
+def simhash16(col: Column) -> Column:
+    """16-bit SimHash over word tokens (portable md5-derived bit votes).
+
+    bit_i = 1 iff sum over tokens of (+-1 by bit_i of first-16-bits of
+    md5(token)) > 0. 16 bits keeps the SQL-oracle expression tractable."""
+    toks = F.filter(F.split(norm_text(col), " "), lambda t: t != "")
+    tok_hash = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+    )
+
+    def vote_fn(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for i in range(16):
+        vote = F.aggregate(tok_hash, F.lit(0).cast("long"), vote_fn(i))
+        out = out + F.when(vote > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0))
+    return out
+
+
 def simhash32(col: Column) -> Column:
     """32-bit SimHash over word tokens (md5-derived bit votes).
 
@@ -123,14 +161,14 @@ def simhash32(col: Column) -> Column:
     tok_hash = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
     )
+    def vote_fn(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     bits = []
     for i in range(32):
-        vote = F.aggregate(
-            tok_hash,
-            F.lit(0).cast("long"),
-            lambda acc, h, i=i: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+        vote = F.aggregate(tok_hash, F.lit(0).cast("long"), vote_fn(i))
         bits.append(F.when(vote > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:

@@ -27,10 +27,38 @@ def dedupe_lww(
 ) -> DataFrame:
     """Keep exactly one row per key: max version tuple wins.
 
-    ``tie_break_cols`` make the survivor deterministic when the version
-    tuple itself is duplicated (verbatim duplicate deliveries) — any column
-    works since the rows are identical; defaults to the version columns.
+    Implemented as a hash aggregation — ``max(struct(versions..., row))``
+    per key — NOT a row_number window. The agg gets map-side partial
+    combine (each input partition pre-collapses its duplicates before the
+    shuffle), so duplicate-heavy batches shuffle ~one row per (key,
+    partition) instead of every row, and there is no per-key sort. On
+    struct comparison Spark orders field-by-field, so appending the full
+    row after the version fields gives a deterministic survivor for
+    verbatim duplicates too.
+
+    ``tie_break_cols`` (extra ordering columns after the version tuple)
+    make the winner deterministic when version tuples collide across
+    *different* rows.
     """
+    order_cols = list(version_cols) + list(tie_break_cols or [])
+    payload = [f.name for f in df.schema.fields]
+    packed = F.struct(
+        *[F.col(c).alias(f"_v{i}") for i, c in enumerate(order_cols)],
+        F.struct(*payload).alias("_row"),
+    )
+    won = df.groupBy(*key_cols).agg(F.max(packed).alias("_win"))
+    return won.select(*[F.col(f"_win._row.{c}").alias(c) for c in payload])
+
+
+def dedupe_lww_window(
+    df: DataFrame,
+    key_cols: list[str],
+    version_cols: list[str],
+    tie_break_cols: list[str] | None = None,
+) -> DataFrame:
+    """row_number-window variant (SURVEY A7's literal shape); kept for
+    parity tests and for when the survivor must keep input column order
+    without repacking. Prefer ``dedupe_lww`` (partial-agg) in pipelines."""
     order = [F.col(c).desc_nulls_last() for c in version_cols]
     if tie_break_cols:
         order += [F.col(c).desc_nulls_last() for c in tie_break_cols]

@@ -1,0 +1,66 @@
+"""Chunked, resumable backfill (reference lifecycle §3.2, SURVEY T2).
+
+The reference splits the slot range into 5000-slot chunks, claims them via
+findOneAndUpdate, resumes mid-chunk from lastProcessedSlot, and runs 4
+chunks concurrently (/root/reference/src/etl/transaction-transformer.ts:
+187-265, 267-432). In Spark, *intra-chunk* parallelism is the executors'
+job — a chunk is a delivery_seq range applied as one (or a few) micro-
+batches — so the ledger exists for restartability and lineage, not for
+work distribution. Chunks also bound the state each MERGE touches, which
+keeps per-commit rewrite amplification predictable at 10^10 events.
+
+Resume semantics: a chunk interrupted mid-way restarts from its recorded
+``last_seq`` (batches inside a chunk are themselves idempotent by batch-id,
+so replaying the tail of a chunk is safe — stronger than the reference,
+which can double-apply its last batch).
+"""
+
+from __future__ import annotations
+
+from ..state.stores import ChunkLedger
+from .apply import CdcApplyPipeline
+
+
+class BackfillRunner:
+    def __init__(self, pipeline: CdcApplyPipeline, ledger_path: str,
+                 chunk_size: int, intra_chunk_batches: int = 1):
+        self.pipe = pipeline
+        self.ledger = ChunkLedger(ledger_path)
+        self.chunk_size = chunk_size
+        self.intra_chunk_batches = max(1, intra_chunk_batches)
+
+    def plan(self) -> list[dict]:
+        lo, hi = self.pipe.delivery_range()
+        return self.ledger.plan(lo, hi, self.chunk_size)
+
+    def run(self, max_chunks: int | None = None) -> list[dict]:
+        """Claim and process chunks until none are pending."""
+        self.plan()
+        done = []
+        while max_chunks is None or len(done) < max_chunks:
+            chunk = self.ledger.claim_next()
+            if chunk is None:
+                break
+            try:
+                res = self._process_chunk(chunk)
+                self.ledger.update(chunk["chunk_id"], status="completed",
+                                   last_seq=chunk["seq_hi"])
+                done.append(res)
+            except Exception as e:  # chunk goes back to error -> re-claimable
+                self.ledger.update(chunk["chunk_id"], status="error", error=str(e))
+                raise
+        return done
+
+    def _process_chunk(self, chunk: dict) -> dict:
+        # resume mid-chunk: start above whatever this chunk already applied
+        start = max(chunk["seq_lo"] - 1, chunk["last_seq"])
+        hi = chunk["seq_hi"]
+        span = max(1, (hi - start) // self.intra_chunk_batches + 1)
+        results = []
+        cur = start
+        while cur < hi:
+            nxt = min(cur + span, hi)
+            results.append(self.pipe.run_batch(cur, nxt))
+            self.ledger.update(chunk["chunk_id"], last_seq=nxt)
+            cur = nxt
+        return {"chunk_id": chunk["chunk_id"], "batches": results}

@@ -1,0 +1,92 @@
+"""Continuous tail mode (SURVEY T3) + Structured Streaming variant.
+
+The reference polls getSlotRange() every 5 s after draining chunks
+(/root/reference/src/etl/transaction-transformer.ts:70-87,135-151). Here:
+
+- ``tail_loop``: the batch-incremental analog — poll the WAL head, apply
+  any new delivery range as one micro-batch, sleep; exactly-once comes from
+  the same batch-id manifests, so a crash mid-loop never double-applies.
+- ``stream_decoded``: a real Structured Streaming pipeline over the WAL
+  directory (readStream -> decode -> foreachBatch apply). foreachBatch
+  gives the same MERGE sink the batch path uses; Spark's checkpointLocation
+  tracks source offsets while our snapshot manifests keep the sink
+  idempotent (belt + suspenders across the two failure domains).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.decode import decode_events
+from .apply import CdcApplyPipeline
+
+
+def tail_loop(
+    pipe: CdcApplyPipeline,
+    poll_interval_s: float = 5.0,
+    max_polls: int | None = None,
+    on_batch: Callable[[dict], None] | None = None,
+    stop_when_idle: bool = False,
+) -> list[dict]:
+    """Poll the WAL head; apply new events as they appear."""
+    results = []
+    polls = 0
+    while max_polls is None or polls < max_polls:
+        polls += 1
+        hwm = pipe.checkpoints.get(pipe.pipeline)
+        _, head = pipe.delivery_range()
+        if head is not None and head > hwm:
+            rec = pipe.run_batch(max(hwm, -1), head)
+            results.append(rec)
+            if on_batch:
+                on_batch(rec)
+        elif stop_when_idle:
+            break
+        else:
+            time.sleep(poll_interval_s)
+    return results
+
+
+def stream_decoded(
+    spark: SparkSession,
+    events_path: str,
+    schema,
+    checkpoint_dir: str,
+    apply_fn: Callable[[DataFrame, int], None],
+    trigger_once: bool = True,
+):
+    """Structured Streaming over the WAL directory with a foreachBatch sink.
+
+    ``apply_fn(batch_df, epoch_id)`` receives decoded micro-batches (valid
+    and quarantine rows both, discriminated by ``is_valid``).
+    """
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(events_path)
+    )
+    decoded = decode_events(src)
+    writer = (
+        decoded.writeStream.foreachBatch(apply_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_rates(spark: SparkSession, events_path: str, schema,
+                   window: str = "1 hour"):
+    """Streaming tumbling-window event rates with watermarked late data
+    (SURVEY T9/W analog; memory sink for tests)."""
+    src = spark.readStream.schema(schema).parquet(events_path)
+    return (
+        src.withColumn("ts2", F.col("ts").cast("timestamp"))
+        .withWatermark("ts2", "1 hour")
+        .groupBy(F.window("ts2", window), "op")
+        .agg(F.count("*").alias("n"))
+    )

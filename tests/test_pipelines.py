@@ -1,0 +1,142 @@
+"""Backfill chunk ledger, continuous tail, streaming, multimodal plumbing."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ore_etl_spark.datagen.wal import generate_wal, replay_oracle
+from ore_etl_spark.pipeline.apply import CdcApplyPipeline, target_schema
+from ore_etl_spark.pipeline.backfill import BackfillRunner
+from ore_etl_spark.pipeline.continuous import tail_loop
+from ore_etl_spark.tables.merge_table import MergeTable
+
+N_KEYS = 300
+
+
+@pytest.fixture()
+def wal(spark, tmpdir_path):
+    path = f"{tmpdir_path}/events"
+    generate_wal(spark, n_keys=N_KEYS, n_partitions=4).write.parquet(path)
+    return path
+
+
+def build(spark, tmpdir_path, wal_path):
+    tbl = MergeTable.create(
+        spark, f"{tmpdir_path}/target", target_schema(),
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=8,
+    )
+    return CdcApplyPipeline(spark, wal_path, tbl, f"{tmpdir_path}/state")
+
+
+def parity(spark, tbl, wal_path):
+    import pandas as pd
+
+    exp = replay_oracle(spark.read.parquet(wal_path).toPandas())
+    got = (
+        tbl.read()
+        .select("repo", "path", "commit", "lang", "commit_seq", "event_seq",
+                "content_sha256", "content_len")
+        .toPandas()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    exp = exp[got.columns.tolist()]
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
+
+
+def test_backfill_chunks_resume_and_converge(spark, tmpdir_path, wal):
+    pipe = build(spark, tmpdir_path, wal)
+    lo, hi = pipe.delivery_range()
+    chunk_size = max(1, (hi - lo) // 3)
+    bf = BackfillRunner(pipe, f"{tmpdir_path}/state/chunks.json", chunk_size)
+    done = bf.run(max_chunks=2)  # "crash" after 2 chunks
+    assert len(done) == 2
+    statuses = [c["status"] for c in bf.ledger.chunks()]
+    assert statuses.count("completed") == 2
+    assert "pending" in statuses
+    # new runner (restart): picks up the remaining chunks only
+    bf2 = BackfillRunner(pipe, f"{tmpdir_path}/state/chunks.json", chunk_size)
+    bf2.run()
+    assert all(c["status"] == "completed" for c in bf2.ledger.chunks())
+    parity(spark, pipe.table, wal)
+    # a fully-backfilled ledger re-run is a no-op
+    assert bf2.run() == []
+
+
+def test_tail_loop_applies_new_events(spark, tmpdir_path, wal):
+    pipe = build(spark, tmpdir_path, wal)
+    res = tail_loop(pipe, max_polls=3, stop_when_idle=True)
+    assert len(res) == 1  # one catch-up batch, then idle stop
+    parity(spark, pipe.table, wal)
+    # append new events -> next poll applies only those
+    extra = generate_wal(spark, n_keys=N_KEYS, n_partitions=4).withColumn(
+        "delivery_seq", F.col("delivery_seq") + 1_000_000
+    ).withColumn("commit_seq", F.col("commit_seq") + 1_000_000)
+    extra.write.mode("append").parquet(wal)
+    res2 = tail_loop(pipe, max_polls=2, stop_when_idle=True)
+    assert len(res2) == 1 and res2[0]["seq_lo"] >= res[0]["seq_hi"]
+    parity(spark, pipe.table, wal)
+
+
+def test_structured_streaming_windowed_rates(spark, tmpdir_path, wal):
+    from ore_etl_spark.pipeline.continuous import windowed_rates
+
+    schema = spark.read.parquet(wal).schema
+    agg = windowed_rates(spark, wal, schema, window="1 day")
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName("rates_out").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM rates_out").collect()
+    assert len(out) > 0
+    total = sum(r["n"] for r in out)
+    assert total == spark.read.parquet(wal).count()
+
+
+def test_structured_streaming_foreachbatch_apply(spark, tmpdir_path, wal):
+    """readStream -> decode -> foreachBatch MERGE: converges to the oracle."""
+    from ore_etl_spark.pipeline.continuous import stream_decoded
+
+    tbl = MergeTable.create(
+        spark, f"{tmpdir_path}/starget", target_schema(),
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=8,
+    )
+    cols = [f.name for f in target_schema().fields] + ["op"]
+
+    def apply_fn(batch_df, epoch_id):
+        valid = batch_df.filter(F.col("is_valid")).select(*cols)
+        tbl.merge(valid, batch_id=f"stream-epoch-{epoch_id}")
+
+    schema = spark.read.parquet(wal).schema
+    q = stream_decoded(spark, wal, schema, f"{tmpdir_path}/ckpt", apply_fn)
+    q.awaitTermination(180)
+    parity(spark, tbl, wal)
+
+
+def test_multimodal_meta_and_decode_stub(spark):
+    from ore_etl_spark.functions.multimodal import (
+        decode_image_stub,
+        extract_media_meta,
+        sample_frames_plan,
+    )
+
+    png_header = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+                  + (64).to_bytes(4, "big") + (48).to_bytes(4, "big") + b"rest")
+    rows = [(1, bytearray(png_header)), (2, bytearray(b"\xff\xd8\xffJPEGDATA")),
+            (3, bytearray(b"garbage")), (4, None)]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    metas = {r["id"]: r["meta"].asDict() for r in extract_media_meta(df).collect()}
+    assert metas[1]["format"] == "png" and metas[1]["width"] == 64 \
+        and metas[1]["height"] == 48 and metas[1]["ok"]
+    assert metas[2]["format"] == "jpeg"
+    assert metas[3]["format"] == "unknown" and not metas[3]["ok"]
+    assert metas[4]["n_bytes"] is None
+
+    pix = {r["id"]: r["pixels"] for r in decode_image_stub(df, target_size=(4, 4)).collect()}
+    assert len(pix[1]) == 16 and all(0 <= v <= 1 for v in pix[1])
+    assert pix[4] is None
+
+    vids = spark.createDataFrame([(1, 3.0)], "id long, duration_s double")
+    plan = sample_frames_plan(vids, every_s=1.0).collect()
+    assert [r["frame_ts"] for r in plan] == [0.0, 1.0, 2.0, 3.0]
