@@ -298,6 +298,164 @@ def q_explode_token_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Reference decode-surface parity (SURVEY §2.3): the reference's scalar
+# decode shapes re-expressed as vectorized column programs over `events`
+# ---------------------------------------------------------------------------
+
+def q_decode_log_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: log-line regex extraction. Synthesizes 'Round #N: deploying X SOL
+    to K squares' lines (log-parser.ts:85-216 shape) and parses them back
+    with regexp_extract — round-trip must be lossless."""
+    ev = _read(spark, sf_dir, "events")
+    logline = F.concat(
+        F.lit("Round #"), F.col("event_id").cast("string"),
+        F.lit(": deploying "), F.round(F.col("value"), 2).cast("string"),
+        F.lit(" SOL to "), (F.col("user_id") % 25 + 1).cast("string"),
+        F.lit(" squares"),
+    )
+    pat = r"Round #(\d+): deploying ([\d.]+) SOL to (\d+) squares"
+    return ev.select(
+        "event_id",
+        F.regexp_extract(logline, pat, 1).cast("long").alias("round_id"),
+        F.regexp_extract(logline, pat, 2).cast("double").alias("amount_sol"),
+        F.regexp_extract(logline, pat, 3).cast("int").alias("n_squares"),
+    )
+
+
+def q_decode_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: 25-bit mask -> set-bit index array (instruction-parser.ts:40-45)."""
+    ev = _read(spark, sf_dir, "events")
+    mask = (F.col("event_id") % 33554432).cast("long")
+    # shiftright(col, n) needs a literal n — shift via 2^i division instead
+    squares = F.filter(
+        F.sequence(F.lit(0), F.lit(24)),
+        lambda i: (mask / F.pow(F.lit(2.0), i.cast("double"))).cast("long") % 2 == 1,
+    )
+    return ev.select(
+        "event_id",
+        F.size(squares).alias("n_squares"),
+        F.try_element_at(squares, F.lit(1)).alias("first_square"),
+        F.try_element_at(squares, F.lit(-1)).alias("last_square"),
+    )
+
+
+def q_decode_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5/D8: positional account extraction + coalesce fallback chain
+    (instruction-parser.ts:88-229, deploy-etl.ts:213-223): role layout
+    switches on a type discriminator; authority falls back signer -> first."""
+    ev = _read(spark, sf_dir, "events")
+    accounts = F.array(
+        F.concat(F.lit("acc"), F.col("user_id").cast("string")),
+        F.concat(F.lit("acc"), (F.col("event_id") % 100).cast("string")),
+        F.concat(F.lit("acc"), F.floor(F.col("value")).cast("string")),
+    )
+    itype = (F.col("event_id") % 4).cast("int")
+    signer = F.element_at(accounts, 1)
+    authority = (
+        F.when(itype == 2, F.element_at(accounts, 3))
+        .when(itype == 3, F.element_at(accounts, 2))
+        .otherwise(F.lit(None))
+    )
+    automation = F.when(itype == 3, F.element_at(accounts, 3)).otherwise(F.lit(None))
+    return ev.select(
+        "event_id",
+        F.coalesce(authority, signer, F.element_at(accounts, 1)).alias("authority"),
+        (automation.isNotNull()).alias("is_automation"),
+    )
+
+
+def q_decode_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: multi-part log merge — last non-null wins across a stream
+    (log-parser.ts:218-244): carry the latest qualifying marker forward."""
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marker = F.when(F.col("value") > 300, F.col("event_type"))
+    return ev.select(
+        "event_id", "user_id",
+        F.last(marker, ignorenulls=True).over(w).alias("last_big_type"),
+    )
+
+
+def q_decode_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12: SOL<->lamports x1e9 integer round-trip (log-parser.ts:5-6)."""
+    ev = _read(spark, sf_dir, "events")
+    lamports = F.round(F.col("value") * 1e9).cast("long")
+    return ev.select(
+        "event_id", lamports.alias("lamports"),
+        F.round(lamports / 1e9, 6).alias("sol_roundtrip"),
+    )
+
+
+def q_decode_balance_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15: post-pre balance delta via zip_with (reset-etl.ts:206-231)."""
+    e = _read(spark, sf_dir, "embeddings")
+    pre = F.col("embedding")
+    post = F.transform(pre, lambda x: x.cast("double") * 1.1)
+    delta = F.zip_with(post, F.transform(pre, lambda x: x.cast("double")),
+                       lambda a, b: a - b)
+    return e.select(
+        "vec_id",
+        F.round(F.aggregate(delta, F.lit(0.0), lambda acc, v: acc + v), 4)
+        .alias("total_delta"),
+        F.size(F.filter(delta, lambda v: v > 0)).alias("n_positive"),
+    )
+
+
+def q_router_multi_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 router: one event fans out to 0..N typed records; a purchase
+    emits BOTH purchase_rec and spend_rec (the claim_ore/claim_yield
+    double-emit, activity-parser.test.ts:158-161)."""
+    ev = _read(spark, sf_dir, "events")
+    recs = F.when(
+        F.col("event_type") == "purchase",
+        F.array(F.lit("purchase_rec"), F.lit("spend_rec")),
+    ).when(
+        F.col("event_type") == "error", F.array(F.lit("error_rec"))
+    ).when(
+        F.col("event_type") == "signup", F.array(F.lit("user_rec"))
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        ev.select(F.explode(recs).alias("record_type"), "value")
+        .groupBy("record_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q_anti_join_unprocessed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: anti-join "skip already processed" shape (CODE-REVIEW.md:59-81):
+    customers with no orders (left_anti against the processed-keys set)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        cust.join(orders.select("o_custkey").distinct(),
+                  cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS/CUBE (noted built-in in SURVEY §2.5)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty")
+    )
+
+
+def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: top-K per group via row_number (top-2 events per user by value)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("user_id", "event_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline operators (first-class: dedup / text / similarity)
 # ---------------------------------------------------------------------------
 
@@ -416,6 +574,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_gap_audit": q_cdc_gap_audit,
     "cdc_asof_join": q_cdc_asof_join,
     "cdc_quarantine_audit": q_cdc_quarantine_audit,
+    "decode_log_regex": q_decode_log_regex,
+    "decode_bitmask": q_decode_bitmask,
+    "decode_positional": q_decode_positional,
+    "decode_multiline_merge": q_decode_multiline_merge,
+    "decode_unit_conversion": q_decode_unit_conversion,
+    "decode_balance_delta": q_decode_balance_delta,
+    "router_multi_emit": q_router_multi_emit,
+    "anti_join_unprocessed": q_anti_join_unprocessed,
+    "agg_cube": q_agg_cube,
+    "win_topk_per_group": q_win_topk_per_group,
     "agg_top_users": q_agg_top_users,
     "agg_by_type": q_agg_by_type,
     "agg_daily": q_agg_daily,
@@ -656,6 +824,95 @@ def oracle_sql() -> dict[str, str]:
                        AND c.ts <= p.ts
                      ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
             FROM events p WHERE p.event_type = 'purchase'
+        """,
+        "decode_log_regex": """
+            WITH lines AS (
+              SELECT event_id,
+                'Round #' || event_id || ': deploying ' || round(value, 2)
+                || ' SOL to ' || (user_id % 25 + 1) || ' squares' AS logline
+              FROM events)
+            SELECT event_id,
+              regexp_extract(logline, 'Round #(\\d+): deploying ([\\d.]+) SOL to (\\d+) squares', 1)::BIGINT AS round_id,
+              regexp_extract(logline, 'Round #(\\d+): deploying ([\\d.]+) SOL to (\\d+) squares', 2)::DOUBLE AS amount_sol,
+              regexp_extract(logline, 'Round #(\\d+): deploying ([\\d.]+) SOL to (\\d+) squares', 3)::INT AS n_squares
+            FROM lines
+        """,
+        "decode_bitmask": """
+            WITH m AS (
+              SELECT event_id,
+                list_filter(generate_series(0, 24),
+                  i -> ((event_id % 33554432) // (1 << i)) % 2 = 1) AS squares
+              FROM events)
+            SELECT event_id, len(squares) AS n_squares,
+                   squares[1] AS first_square, squares[-1] AS last_square
+            FROM m
+        """,
+        "decode_positional": """
+            WITH a AS (
+              SELECT event_id, (event_id % 4)::INT AS itype,
+                ['acc' || user_id,
+                 'acc' || (event_id % 100),
+                 'acc' || floor(value)::BIGINT] AS accounts
+              FROM events)
+            SELECT event_id,
+              coalesce(CASE WHEN itype = 2 THEN accounts[3]
+                            WHEN itype = 3 THEN accounts[2] END,
+                       accounts[1], accounts[1]) AS authority,
+              (CASE WHEN itype = 3 THEN accounts[3] END) IS NOT NULL
+                AS is_automation
+            FROM a
+        """,
+        "decode_multiline_merge": """
+            SELECT event_id, user_id,
+              last_value(CASE WHEN value > 300 THEN event_type END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS last_big_type
+            FROM events
+        """,
+        "decode_unit_conversion": """
+            SELECT event_id, round(value * 1e9)::BIGINT AS lamports,
+                   round(round(value * 1e9)::BIGINT / 1e9, 6) AS sol_roundtrip
+            FROM events
+        """,
+        "decode_balance_delta": """
+            SELECT vec_id,
+              round(coalesce(list_sum(list_transform(embedding,
+                    x -> x * 1.1 - x)), 0), 4) AS total_delta,
+              len(list_filter(list_transform(embedding, x -> x * 1.1 - x),
+                  v -> v > 0)) AS n_positive
+            FROM embeddings
+        """,
+        "router_multi_emit": """
+            WITH fan AS (
+              SELECT 'purchase_rec' AS record_type, value FROM events
+                WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT 'spend_rec', value FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT 'error_rec', value FROM events WHERE event_type = 'error'
+              UNION ALL
+              SELECT 'user_rec', value FROM events WHERE event_type = 'signup')
+            SELECT record_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM fan GROUP BY record_type
+        """,
+        "anti_join_unprocessed": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+        """,
+        "agg_cube": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 4) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "win_topk_per_group": """
+            WITH r AS (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id ASC) AS rk
+              FROM events)
+            SELECT user_id, event_id, rk FROM r WHERE rk <= 2
         """,
         "agg_top_users": """
             SELECT user_id, round(sum(value), 4) AS total_value,

@@ -120,6 +120,9 @@ def generate_wal(
             F.concat(F.lit("org"), (F.col("repo_idx") % 10).cast("string"),
                      F.lit("/repo"), F.col("repo_idx").cast("string")),
         )
+        # lang may change on UPDATE (column-update test, FIXTURES §2) but the
+        # path — the upsert key — derives from the key alone, so successive
+        # versions of a key actually collide in the MERGE
         .withColumn(
             "lang",
             F.element_at(
@@ -129,11 +132,18 @@ def generate_wal(
             ),
         )
         .withColumn(
+            "ext",
+            F.element_at(
+                F.array(*[F.lit(x) for x in ("py", "ts", "rs", "go", "java", "md")]),
+                (F.pmod(_h(F.col("key_id"), salt=f"ext{seed}"), F.lit(6)) + 1).cast("int"),
+            ),
+        )
+        .withColumn(
             "path",
             F.concat(F.lit("src/d"),
                      F.pmod(_h(F.col("key_id"), salt=f"dir{seed}"), F.lit(20)).cast("string"),
                      F.lit("/f"), F.col("key_id").cast("string"),
-                     F.lit("."), F.col("lang")),
+                     F.lit("."), F.col("ext")),
         )
     )
 

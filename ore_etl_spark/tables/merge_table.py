@@ -214,16 +214,30 @@ class MergeTable:
             df = df.filter(~F.col(_DELETED_COL)).drop(_DELETED_COL)
         return df
 
+    def _resolve(self, snap: dict, df: DataFrame, with_deleted: bool) -> DataFrame:
+        """MOR read resolution: when delta files exist, a key may appear in
+        several files — global LWW picks the winner BEFORE tombstones are
+        filtered (filtering first would resurrect deleted keys)."""
+        if self.has_deltas(snap):
+            from ..operators.lww import dedupe_lww
+
+            df = dedupe_lww(df, snap["key_cols"], snap["version_cols"])
+        if not with_deleted:
+            df = df.filter(~F.col(_DELETED_COL)).drop(_DELETED_COL)
+        return df
+
     def read(self, with_deleted: bool = False) -> DataFrame:
         snap = self.snapshot()
-        return self._read_refs(snap, snap["refs"], with_deleted)
+        raw = self._read_refs(snap, snap["refs"], with_deleted=True)
+        return self._resolve(snap, raw, with_deleted)
 
     def read_buckets(self, bucket_ids: list[int], with_deleted: bool = False) -> DataFrame:
         """Manifest-level partition pruning: scan only the named buckets."""
         snap = self.snapshot()
         want = set(bucket_ids)
         refs = [r for r in snap["refs"] if r["bucket"] in want]
-        return self._read_refs(snap, refs, with_deleted)
+        raw = self._read_refs(snap, refs, with_deleted=True)
+        return self._resolve(snap, raw, with_deleted)
 
     def bucket_expr(self, snap: dict | None = None):
         snap = snap or self.snapshot()
@@ -268,6 +282,151 @@ class MergeTable:
             snap["current_schema_id"] = new_id
         return snap, changed
 
+    # ----------------------------------------------------------- MOR write
+    def merge_mor(
+        self,
+        source: DataFrame,
+        batch_id: str,
+        op_col: str | None = "op",
+        delete_value: str = "DELETE",
+        evolve_schema: bool = True,
+        touched_buckets: list[int] | None = None,
+        dedup_in_batch: bool = True,
+        bucket_shuffle: bool = True,
+    ) -> MergeMetrics:
+        """Merge-on-read upsert: append deduped delta files, resolve at read.
+
+        ``dedup_in_batch=False`` + ``bucket_shuffle=False`` is the
+        shuffle-free fast path: the batch is written as-is, partitioned by
+        bucket directory but NOT exchanged (each task writes a file per
+        bucket it holds). Read-time LWW resolution already handles
+        duplicates and ordering, so correctness is unchanged; the trade is
+        more, smaller delta files — bounded by compaction cadence. This
+        makes the apply a narrow read->decode->write pipeline with zero
+        shuffle, the near-linearly-scaling shape.
+
+        The write path is decode-output -> in-batch LWW dedup (one shuffle)
+        -> bucketed APPEND of rows + tombstones. No target-side scan, no
+        join, no rewrite of carried rows — bytes written per batch are
+        O(batch), not O(table). This is the write-optimized half of the
+        Hudi/Paimon MOR trade: readers resolve LWW across base + deltas
+        (``read`` does a global dedupe per bucket), and ``compact`` folds
+        deltas back into one resolved file set per bucket.
+
+        Conditional-LWW and tombstone semantics are identical to the COW
+        ``merge`` by construction: the version-ordered dedupe at read time
+        picks the same winner the conditional MERGE would have kept, and a
+        tombstone with the greatest version wins the same way. Exactly-once
+        batch-id manifests are shared with the COW path.
+        """
+        snap = self.snapshot()
+        if self.is_committed(batch_id, snap):
+            return MergeMetrics(batch_id=batch_id, version=snap["version"],
+                                skipped_already_committed=True)
+        key_cols = snap["key_cols"]
+        version_cols = snap["version_cols"]
+        has_op = op_col is not None and op_col in source.columns
+        if evolve_schema:
+            data_schema = T.StructType(
+                [f for f in source.schema.fields
+                 if f.name != op_col and not f.name.startswith("_")]
+            )
+            snap, _ = self._evolve_schema(snap, data_schema)
+        target_schema = self.schema(snap)
+
+        from ..operators.lww import dedupe_lww
+
+        src = source
+        if dedup_in_batch:
+            src = dedupe_lww(src, key_cols, version_cols)
+        src = src.withColumn(
+            _DELETED_COL,
+            (F.col(op_col) == F.lit(delete_value)) if has_op else F.lit(False),
+        )
+        src = self._align(
+            src,
+            T.StructType(target_schema.fields
+                         + [T.StructField(_DELETED_COL, T.BooleanType(), True)]),
+        )
+        src = src.withColumn(_BUCKET_COL, self.bucket_expr(snap))
+
+        new_ver = snap["version"] + 1
+        rel_dir = os.path.join("data", f"v{new_ver}")
+        out_dir = os.path.join(self.root, rel_dir)
+        if bucket_shuffle:
+            n_parts = min(max(snap["n_buckets"], 1), 256)
+            src = src.repartition(n_parts, F.col(_BUCKET_COL))
+        src.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir)
+
+        written = {}
+        for name in os.listdir(out_dir):
+            if name.startswith(f"{_BUCKET_COL}="):
+                b = int(name.split("=", 1)[1])
+                written[b] = os.path.join(rel_dir, name)
+
+        # delta semantics: APPEND refs (never drop prior refs)
+        sid = snap["current_schema_id"]
+        refs = list(snap["refs"]) + [
+            {"path": rel, "bucket": b, "schema_id": sid, "delta": True}
+            for b, rel in written.items()
+        ]
+        new_snap = {
+            **snap,
+            "version": new_ver,
+            "parent": snap["version"],
+            "batch_id": batch_id,
+            "applied_batch_ids": snap["applied_batch_ids"] + [batch_id],
+            "refs": refs,
+        }
+        self._write_snapshot(new_snap)
+        m = MergeMetrics(batch_id=batch_id, version=new_ver,
+                         n_buckets_touched=len(written))
+        self._append_lineage(self._lineage_rows(batch_id, new_ver, m))
+        return m
+
+    def has_deltas(self, snap: dict | None = None) -> bool:
+        snap = snap or self.snapshot()
+        return any(r.get("delta") for r in snap["refs"])
+
+    def compact(self, batch_id: str, retain_tombstones: bool = True) -> MergeMetrics:
+        """Fold delta files into one resolved file set per bucket (MOR ->
+        COW base). Idempotent by batch_id.
+
+        ``retain_tombstones=True`` (default) keeps the winning tombstone
+        rows: compaction can then run at ANY point mid-stream — an
+        out-of-order event older than a delete still loses LWW against the
+        retained tombstone. Pass ``False`` only when no event older than
+        the tombstones can still arrive (out-of-order horizon passed) —
+        that is the GC/expiry compaction."""
+        snap = self.snapshot()
+        if self.is_committed(batch_id, snap):
+            return MergeMetrics(batch_id=batch_id, version=snap["version"],
+                                skipped_already_committed=True)
+        resolved = self.read(with_deleted=True)
+        from ..operators.lww import dedupe_lww
+
+        resolved = dedupe_lww(resolved, snap["key_cols"], snap["version_cols"])
+        if not retain_tombstones:
+            resolved = resolved.filter(~F.col(_DELETED_COL))
+        resolved = resolved.withColumn(_BUCKET_COL, self.bucket_expr(snap))
+        new_ver = snap["version"] + 1
+        rel_dir = os.path.join("data", f"v{new_ver}")
+        out_dir = os.path.join(self.root, rel_dir)
+        (resolved.repartition(min(snap["n_buckets"], 256), F.col(_BUCKET_COL))
+                 .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir))
+        written = {}
+        for name in os.listdir(out_dir):
+            if name.startswith(f"{_BUCKET_COL}="):
+                b = int(name.split("=", 1)[1])
+                written[b] = os.path.join(rel_dir, name)
+        all_buckets = {r["bucket"] for r in snap["refs"]}
+        new_snap = self._advance(snap, batch_id, written, all_buckets)
+        self._write_snapshot(new_snap)
+        m = MergeMetrics(batch_id=batch_id, version=new_ver,
+                         n_buckets_touched=len(written))
+        self._append_lineage(self._lineage_rows(batch_id, new_ver, m))
+        return m
+
     def merge(
         self,
         source: DataFrame,
@@ -276,6 +435,7 @@ class MergeTable:
         delete_value: str = "DELETE",
         evolve_schema: bool = True,
         collect_metrics: bool = True,
+        touched_buckets: list[int] | None = None,
     ) -> MergeMetrics:
         """Conditional-LWW MERGE of `source` into the table.
 
@@ -283,6 +443,11 @@ class MergeTable:
         resolved first (in-batch LWW — mandatory before any keyed merge,
         mirroring SURVEY A7). If `op_col` is present, rows whose op equals
         `delete_value` become tombstones. Idempotent by `batch_id`.
+
+        ``touched_buckets``: pass the batch's bucket set if the caller
+        already knows it (the apply pipeline computes it in its stats pass)
+        — saves one job; it must be a SUPERSET of the source's buckets or
+        rows would silently drop.
         """
         snap = self.snapshot()
         if self.is_committed(batch_id, snap):
@@ -317,10 +482,13 @@ class MergeTable:
         src = src.withColumn(_BUCKET_COL, self.bucket_expr(snap))
 
         # --- bucket pruning ----------------------------------------------
-        touched = sorted(
-            r[_BUCKET_COL]
-            for r in src.select(_BUCKET_COL).distinct().collect()
-        )
+        if touched_buckets is not None:
+            touched = sorted(touched_buckets)
+        else:
+            touched = sorted(
+                r[_BUCKET_COL]
+                for r in src.select(_BUCKET_COL).distinct().collect()
+            )
         if not touched:
             new_snap = self._advance(snap, batch_id, {}, set())
             self._write_snapshot(new_snap)
@@ -328,6 +496,10 @@ class MergeTable:
 
         tgt_refs = [r for r in snap["refs"] if r["bucket"] in set(touched)]
         tgt = self._read_refs(snap, tgt_refs, with_deleted=True)
+        if self.has_deltas(snap):
+            # unresolved MOR deltas would give >1 target row per key and
+            # explode the outer join — resolve them first
+            tgt = dedupe_lww(tgt, key_cols, version_cols)
         tgt = tgt.withColumn(_BUCKET_COL, self.bucket_expr(snap))
 
         # --- resolve: full outer join on key, conditional LWW ------------
