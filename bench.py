@@ -208,15 +208,18 @@ def main():
     per_q = dict(res["queries"])
     per_q["cdc_apply_mor_full"] = res["apply"]["wall_sec"]
     per_q["cdc_apply_cow_full"] = res["apply_cow"]["wall_sec"]
+    mor, cow = res["apply"], res["apply_cow"]
+    best = mor if mor["events_per_sec"] >= cow["events_per_sec"] else cow
     print(json.dumps({
         "metric": "cdc_apply_throughput",
-        "value": res["apply"]["events_per_sec"],
+        "value": best["events_per_sec"],
         "unit": "events/sec",
-        "mode": "mor+final-compact (cow variant in queries)",
-        "cow_events_per_sec": res["apply_cow"]["events_per_sec"],
+        "mode": best["mode"],
+        "mor_events_per_sec": mor["events_per_sec"],
+        "cow_events_per_sec": cow["events_per_sec"],
         "queries": per_q,
         "sf": _sf_of(SF_DIR),
-        "n_events": res["apply"]["n_events"],
+        "n_events": best["n_events"],
         "cpus": args.cpus,
     }))
 

@@ -62,14 +62,16 @@ def decode_events(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     blen = _le_u32(bin_ref, 4)
     # substring on binary with fixed huge length: everything after header
     content = F.substring(bin_ref, 9, 1 << 30).cast("string")
+    # try_to_binary validates base64 strictly and yields NULL on garbage —
+    # plain unbase64 THROWS under ANSI mode (Spark 4 default) and would
+    # fail the whole batch on one malformed payload
     ok = (
-        F.col(payload_col).isNotNull()
-        & F.col(payload_col).rlike(r"^[A-Za-z0-9+/]*={0,2}$")
+        bin_ref.isNotNull()
         & (F.length(bin_ref) >= 8)
         & (F.length(bin_ref) - 8 == blen)
     )
     return (
-        df.withColumn("_bin", F.unbase64(F.col(payload_col)))
+        df.withColumn("_bin", F.try_to_binary(F.col(payload_col), F.lit("base64")))
         .select(
             "*",
             F.when(ok, version).otherwise(F.lit(None)).cast("long").alias("payload_version"),

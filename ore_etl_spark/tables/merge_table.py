@@ -226,8 +226,15 @@ class MergeTable:
             df = df.filter(~F.col(_DELETED_COL)).drop(_DELETED_COL)
         return df
 
-    def read(self, with_deleted: bool = False) -> DataFrame:
-        snap = self.snapshot()
+    def snapshot_at(self, version: int) -> dict:
+        path = os.path.join(self.root, "snapshots", f"v{version}.json")
+        with open(path) as f:
+            return json.load(f)
+
+    def read(self, with_deleted: bool = False, version: int | None = None) -> DataFrame:
+        """Read the current snapshot, or time-travel to ``version``
+        (snapshots are immutable; Iceberg VERSION AS OF parity)."""
+        snap = self.snapshot() if version is None else self.snapshot_at(version)
         raw = self._read_refs(snap, snap["refs"], with_deleted=True)
         return self._resolve(snap, raw, with_deleted)
 
