@@ -1,0 +1,164 @@
+"""spark-submit entry point.
+
+Usage (local sandbox or a real cluster; on a cluster pass --master via
+spark-submit and set SPARK_GRAFT_EXISTING_MASTER=1):
+
+    # package the engine for executors
+    python -m ore_etl_spark.cli package --out /tmp/ore_etl_spark.zip
+
+    # one-shot backfill (chunked, resumable)
+    spark-submit --py-files /tmp/ore_etl_spark.zip -m ore_etl_spark.cli ...
+    # or locally:
+    python -m ore_etl_spark.cli backfill --events /path/wal \\
+        --table /path/target --state /path/state --chunk-size 100000
+
+    # continuous tail
+    python -m ore_etl_spark.cli tail --events ... --table ... --state ... \\
+        --poll-interval 5 --max-polls 10
+
+    # generate a synthetic WAL (deterministic, seeded)
+    python -m ore_etl_spark.cli gen --out /path/wal --keys 100000
+
+    # compact a MOR table / expire tombstones
+    python -m ore_etl_spark.cli compact --table /path/target [--expire]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import zipfile
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark("ore-etl-cli", cpus=args.cpus)
+
+
+def _table(spark, args, create: bool = True):
+    from .pipeline.apply import target_schema
+    from .tables.merge_table import MergeTable
+
+    if MergeTable.exists(args.table):
+        return MergeTable.load(spark, args.table)
+    if not create:
+        raise SystemExit(f"no table at {args.table}")
+    return MergeTable.create(
+        spark, args.table, target_schema(),
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=args.buckets,
+    )
+
+
+def cmd_gen(args):
+    from .datagen.wal import generate_wal
+
+    spark = _spark(args)
+    generate_wal(spark, n_keys=args.keys, n_partitions=args.partitions,
+                 seed=args.seed).write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"written": args.out, "n_events": n}))
+
+
+def cmd_backfill(args):
+    from .pipeline.apply import CdcApplyPipeline
+    from .pipeline.backfill import BackfillRunner
+
+    spark = _spark(args)
+    pipe = CdcApplyPipeline(spark, args.events, _table(spark, args),
+                            args.state, mode=args.mode,
+                            compact_every=args.compact_every)
+    bf = BackfillRunner(pipe, f"{args.state}/chunks.json", args.chunk_size)
+    done = bf.run()
+    print(json.dumps({"chunks_completed": len(done),
+                      "table_version": pipe.table.version}))
+
+
+def cmd_tail(args):
+    from .pipeline.apply import CdcApplyPipeline
+    from .pipeline.continuous import tail_loop
+
+    spark = _spark(args)
+    pipe = CdcApplyPipeline(spark, args.events, _table(spark, args),
+                            args.state, mode=args.mode)
+    res = tail_loop(pipe, poll_interval_s=args.poll_interval,
+                    max_polls=args.max_polls,
+                    stop_when_idle=args.stop_when_idle)
+    print(json.dumps({"batches": len(res), "table_version": pipe.table.version}))
+
+
+def cmd_compact(args):
+    import uuid
+
+    spark = _spark(args)
+    tbl = _table(spark, args, create=False)
+    m = tbl.compact(f"cli-compact-{uuid.uuid4().hex[:8]}",
+                    retain_tombstones=not args.expire)
+    print(json.dumps({"version": m.version,
+                      "n_buckets": m.n_buckets_touched}))
+
+
+def cmd_package(args):
+    """Zip the package for spark-submit --py-files."""
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.dirname(pkg_root)
+    with zipfile.ZipFile(args.out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _, files in os.walk(pkg_root):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, base))
+    print(json.dumps({"py_files": args.out}))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="ore_etl_spark")
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen")
+    g.add_argument("--out", required=True)
+    g.add_argument("--keys", type=int, default=100000)
+    g.add_argument("--partitions", type=int, default=32)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=cmd_gen)
+
+    for name, fn in (("backfill", cmd_backfill), ("tail", cmd_tail)):
+        p = sub.add_parser(name)
+        p.add_argument("--events", required=True)
+        p.add_argument("--table", required=True)
+        p.add_argument("--state", required=True)
+        p.add_argument("--buckets", type=int, default=64)
+        p.add_argument("--mode", choices=["cow", "mor"], default="cow")
+        p.add_argument("--compact-every", type=int, default=None)
+        if name == "backfill":
+            p.add_argument("--chunk-size", type=int, default=1000000)
+        else:
+            p.add_argument("--poll-interval", type=float, default=5.0)
+            p.add_argument("--max-polls", type=int, default=None)
+            p.add_argument("--stop-when-idle", action="store_true")
+        p.set_defaults(fn=fn)
+
+    c = sub.add_parser("compact")
+    c.add_argument("--table", required=True)
+    c.add_argument("--buckets", type=int, default=64)
+    c.add_argument("--expire", action="store_true",
+                   help="drop tombstones (only after the out-of-order horizon)")
+    c.set_defaults(fn=cmd_compact)
+
+    pk = sub.add_parser("package")
+    pk.add_argument("--out", default="/tmp/ore_etl_spark.zip")
+    pk.set_defaults(fn=cmd_package)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

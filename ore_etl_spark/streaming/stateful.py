@@ -1,0 +1,72 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference's realtime consumer is stateless per message and leans on the
+idempotent sink for dedup (/root/reference/src/queue/transaction-consumer.ts
+:101-143). With managed per-key state we can do better *upstream*: a
+streaming conditional-LWW gate that drops stale/duplicate events before
+they ever reach the sink, shrinking sink traffic on duplicate-heavy
+streams (the reference's DLQ reality: 5.1M duplicate-ish messages,
+RABBITMQ-VOLUME-ANALYSIS.md:12-47).
+
+State per (repo, path): the max (commit_seq, event_seq) seen. An arriving
+event is emitted iff its version is newer; otherwise dropped as
+stale/duplicate. State is Spark-managed (checkpointed with the query).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+STATE_SCHEMA = "max_commit_seq LONG, max_event_seq LONG"
+
+
+def _lww_gate(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    if state.exists:
+        max_c, max_e = state.get
+    else:
+        max_c, max_e = -1, -1
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["commit_seq", "event_seq"])
+        keep = []
+        for row in pdf.itertuples(index=False):
+            v = (int(row.commit_seq), int(row.event_seq))
+            if v > (max_c, max_e):
+                keep.append(True)
+                max_c, max_e = v
+            else:
+                keep.append(False)
+        out.append(pdf[pd.Series(keep, index=pdf.index)])
+    state.update((max_c, max_e))
+    result = pd.concat(out) if out else pd.DataFrame()
+    yield result
+
+
+def streaming_lww_gate(
+    events: DataFrame,
+    output_schema: StructType | str,
+    key_cols: tuple[str, str] = ("repo", "path"),
+) -> DataFrame:
+    """Stateful streaming dedup/staleness gate keyed by (repo, path).
+
+    ``events`` must be a streaming DataFrame containing the key columns
+    plus commit_seq/event_seq. Emits only rows that advance their key's
+    LWW version. Batch-mode note: use operators.lww.dedupe_lww instead —
+    this operator exists for the continuous path where state must persist
+    ACROSS micro-batches.
+    """
+    return (
+        events.groupBy(*key_cols)
+        .applyInPandasWithState(
+            _lww_gate,
+            outputStructType=output_schema,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the optimizations we rely on must stay in the
+plan (predicate pushdown, column pruning, partial aggregation, broadcast).
+A plan regression at sandbox scale is a cliff at 100 TB.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ore_etl_spark.datagen.wal import generate_wal
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def wal_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "wal")
+    generate_wal(spark, n_keys=200, n_partitions=2).write.parquet(p)
+    return p
+
+
+def test_watermark_filter_pushed_to_parquet(spark, wal_path):
+    df = spark.read.parquet(wal_path).filter(
+        (F.col("delivery_seq") > 100) & (F.col("delivery_seq") <= 2000)
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(delivery_seq,100)" in plan
+    assert "LessThanOrEqual(delivery_seq,2000)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, wal_path):
+    df = spark.read.parquet(wal_path).select("repo", "commit_seq")
+    plan = plan_of(df)
+    # ReadSchema must contain only the projected columns — a scan that
+    # reads payload/content for a 2-column projection is wrong
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "repo" in rs and "commit_seq" in rs
+    assert "payload" not in rs and "lang" not in rs
+
+
+def test_decode_stays_in_wholestage_codegen(spark, wal_path):
+    from ore_etl_spark.operators.decode import decode_events
+
+    plan = plan_of(decode_events(spark.read.parquet(wal_path)))
+    # '*(n)' prefixes mark WholeStageCodegen stages in executedPlan output
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "ArrowEvalPython" not in plan  # JVM fast path has zero Python
+
+
+def test_lww_dedup_is_partial_agg_no_sort(spark, wal_path):
+    from ore_etl_spark.operators.lww import dedupe_lww
+
+    df = spark.read.parquet(wal_path)
+    plan = plan_of(dedupe_lww(df, ["repo", "path"], ["commit_seq", "event_seq"]))
+    assert "Window" not in plan
+    assert "partial_max" in plan
+    # exactly one exchange (the key hash), nothing more
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_small_dim_join_broadcasts(spark):
+    big = spark.range(100000).withColumn("k", F.col("id") % 100)
+    small = spark.range(100).withColumnRenamed("id", "k2")
+    j = big.join(F.broadcast(small), big.k == small.k2)
+    assert "BroadcastHashJoin" in plan_of(j)
+
+
+def test_topk_uses_take_ordered(spark, wal_path):
+    df = (spark.read.parquet(wal_path)
+          .orderBy(F.desc("commit_seq")).limit(10))
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_mor_fastpath_apply_has_no_exchange(spark, wal_path, tmpdir_path):
+    """The shuffle-free delta append: read -> decode -> write, no Exchange."""
+    from ore_etl_spark.operators.decode import decode_events
+    from ore_etl_spark.pipeline.apply import TARGET_FIELDS
+
+    cols = [n for n, _ in TARGET_FIELDS] + ["op"]
+    df = decode_events(spark.read.parquet(wal_path)) \
+        .filter(F.col("is_valid")).select(*cols)
+    assert "Exchange" not in plan_of(df)
