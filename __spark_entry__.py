@@ -536,6 +536,14 @@ def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                              k=10, round_to=4)
 
 
+def q_sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked (never all-pairs)."""
+    from ore_etl_spark.functions.similarity import cosine_pairs_threshold
+
+    e = _read(spark, sf_dir, "embeddings")
+    return cosine_pairs_threshold(e, threshold=0.3, round_to=4)
+
+
 def q_sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norm + count (embedding column aggregates:
     element-wise array mean via posexplode -> groupBy, the scalable shape)."""
@@ -602,6 +610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "sim_topk_cosine": q_sim_topk_cosine,
+    "sim_neardup_pairs": q_sim_neardup_pairs,
     "sim_label_centroid": q_sim_label_centroid,
     "multimodal_meta": q_multimodal_meta,
 }
@@ -772,6 +781,16 @@ def oracle_sql() -> dict[str, str]:
                      4) AS cos_sim
             FROM embeddings WHERE vec_id <> 0
             ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "sim_neardup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4)
+                     AS cos_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 4) >= 0.3
         """,
         "sim_label_centroid": """
             WITH ex AS (

@@ -32,7 +32,10 @@ def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def derive_wal(spark: SparkSession, sf_dir: str, with_payload: bool = True) -> DataFrame:
-    d = documents(spark, sf_dir)
+    # documents.parquet is a single file -> one input split; spread the rows
+    # before the CPU-heavy payload encode/sha work (all derivations are
+    # hash-based, so the result is partitioning-independent)
+    d = documents(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     w = (
         d.withColumn("v", F.explode(F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))))
         .withColumn("repo", F.concat(F.lit("org"), (F.col("doc_id") % 20).cast("string")))
