@@ -249,7 +249,8 @@ def run_scaling(args):
         )
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
 
-    write_scaling_report(results, n, n4, n_events)
+    report_path = os.environ.get("BENCH_REPORT_PATH", "BENCH/BASELINE.md")
+    write_scaling_report(results, n, n4, n_events, path=report_path)
     t_n = results[n]["apply"]["events_per_sec"]
     t_4n = results[n4]["apply"]["events_per_sec"]
     eff = t_4n / (4 * t_n)
