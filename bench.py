@@ -32,7 +32,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_KEYS = int(os.environ.get("BENCH_WAL_KEYS", "250000"))
+BENCH_KEYS = int(os.environ.get("BENCH_WAL_KEYS", "500000"))
 # scaling runs use a larger WAL: at ~0.5M events per-job fixed costs
 # (planning, stage barriers) are ~half the wall at 32 cores, so the ratio
 # measures Spark overhead, not the engine; ~4M events makes compute dominate
