@@ -143,6 +143,57 @@ def run_apply(spark, wal_dir: str, work_dir: str, n_events: int,
     return best
 
 
+def run_incremental(spark, wal_dir: str, work_dir: str, n_keys: int) -> dict:
+    """Steady-state CDC regime: a pre-loaded table >> the arriving delta.
+
+    This is what 'tailing 10^10 events' actually looks like per batch —
+    and where the MOR/COW trade shows: COW rewrites every touched bucket
+    (nearly the whole table for a spread-out delta), MOR appends O(delta).
+    Base build is untimed; the delta apply (10% of keys, newer versions)
+    is timed per mode against copies of the same base table.
+    """
+    from pyspark.sql import functions as F
+
+    from ore_etl_spark.datagen.wal import generate_wal
+    from ore_etl_spark.pipeline.apply import CdcApplyPipeline
+    from ore_etl_spark.tables.merge_table import MergeTable
+
+    base_dir = f"{work_dir}/inc_base"
+    pipe = _make_pipeline(spark, wal_dir, base_dir, mode="mor")
+    pipe.run()
+    pipe.table.compact("inc-base-compact")
+
+    delta_keys = max(1000, n_keys // 10)
+    shift = 10 ** 9
+    delta = (
+        generate_wal(spark, n_keys=delta_keys, n_repos=max(50, delta_keys // 1000),
+                     n_partitions=32)
+        .withColumn("delivery_seq", F.col("delivery_seq") + shift)
+        .withColumn("commit_seq", F.col("commit_seq") + shift)
+    )
+    delta_path = f"{work_dir}/inc_delta"
+    delta.write.mode("overwrite").parquet(delta_path)
+    n_delta = spark.read.parquet(delta_path).count()
+
+    out = {}
+    for mode in ("cow", "mor"):
+        tdir = f"{work_dir}/inc_{mode}"
+        shutil.copytree(f"{base_dir}/target", tdir)
+        p = CdcApplyPipeline(spark, delta_path,
+                             MergeTable.load(spark, tdir),
+                             f"{work_dir}/inc_{mode}_state",
+                             collect_metrics=False, mode=mode,
+                             mor_fast_path=(mode == "mor"))
+        lo, hi = p.delivery_range()
+        t0 = time.time()
+        p.run_batch(lo - 1, hi)
+        wall = time.time() - t0
+        out[f"incremental_{mode}_eps"] = round(n_delta / wall, 1)
+        out[f"incremental_{mode}_wall"] = round(wall, 3)
+    out["incremental_n_delta"] = n_delta
+    return out
+
+
 def run_analytics(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry_mod
 
@@ -177,7 +228,11 @@ def bench_once(cpus: int, wal_dir: str | None, keep_json_only: bool = False,
                      if "cow" in modes else None)
         apply_mor = (run_apply(spark, wal_dir, work, n_events, BENCH_BATCHES, "mor")
                      if "mor" in modes else None)
-        queries = {} if keep_json_only else run_analytics(spark, SF_DIR)
+        queries = {}
+        if not keep_json_only:
+            queries = run_analytics(spark, SF_DIR)
+            queries.update(run_incremental(spark, wal_dir, work,
+                                           n_keys or BENCH_KEYS))
         return {"cpus": cpus, "apply": apply_mor or apply_cow,
                 "apply_cow": apply_cow, "queries": queries}
     finally:
