@@ -237,6 +237,8 @@ class CdcApplyPipeline:
         from concurrent.futures import ThreadPoolExecutor
 
         lo_all, hi_all = self.delivery_range()
+        if hi_all is None:  # empty WAL — nothing to apply
+            return []
         hwm = self.checkpoints.get(self.pipeline)
         if hwm < 0:
             hwm = (lo_all or 0) - 1
