@@ -404,6 +404,61 @@ def q_decode_balance_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decode_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10: literal best-of-N candidate selection — the reference's 3-tier
+    preference cascade (deploy-etl.ts:146-210): prefer a candidate with
+    mask != 0 AND |amount - expected| < 1000; else the first with
+    mask != 0; else the first candidate. Candidates are an array<struct>
+    filtered per tier; the winner's fields are emitted with the tier."""
+    ev = _read(spark, sf_dir, "events")
+    base = F.round(F.col("value") * 1e9).cast("long")
+
+    def cand(i: int):
+        mask = F.when((F.col("event_id") + i) % 3 == 0, F.lit(0).cast("long")) \
+            .otherwise((F.col("event_id") + i) % 33554432)
+        amount = base + F.when((F.col("event_id") * i) % 2 == 0,
+                               F.lit(i * 100)).otherwise(F.lit(i * 10000))
+        # diff precomputed INTO the struct: a HOF lambda capturing an outer
+        # column (base) trips Spark's codegen fallback (isNull-rvalue bug);
+        # with lambda-only references the filter stays in codegen
+        return F.struct(mask.alias("mask"), amount.alias("amount"),
+                        F.abs(amount - base).alias("diff"))
+
+    cands = F.array(cand(1), cand(2), cand(3))
+    t1 = F.filter(cands, lambda c: (c["mask"] != 0) & (c["diff"] < 1000))
+    t2 = F.filter(cands, lambda c: c["mask"] != 0)
+    tier = (F.when(F.size(t1) > 0, 1).when(F.size(t2) > 0, 2).otherwise(3)
+            .cast("int"))
+    # first element of (tier1 ++ tier2 ++ all) IS the cascade winner —
+    # t1 ⊆ t2 ⊆ cands, so concat order encodes the preference; cands is
+    # never empty so element_at(.., 1) is total. (A when-chain of
+    # try_element_at(..)[field] branches trips Spark's isNull-rvalue
+    # codegen bug and falls back to interpreted eval; this form compiles.)
+    chosen = F.element_at(F.concat(t1, t2, cands), 1)
+    return ev.select(
+        "event_id", tier.alias("tier"),
+        chosen["mask"].alias("chosen_mask"),
+        chosen["amount"].alias("chosen_amount"),
+    )
+
+
+def q_decode_xor_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D14: XOR-fold RNG % N (reference board-position draw,
+    instruction-parser.ts XOR-fold shape): hash -> 4 u32 words -> XOR fold
+    -> pmod 25. md5-based portable analog (the reference folds u64 words of
+    a b58-decoded signature; u64 overflows signed SQL integers, so the
+    fold here is 4 LE-independent u32 words covering the whole digest)."""
+    ev = _read(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    words = [F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+             for i in range(4)]
+    fold = words[0].bitwiseXOR(words[1]).bitwiseXOR(words[2]).bitwiseXOR(words[3])
+    return ev.select(
+        "event_id", fold.alias("xor_fold"),
+        F.pmod(fold, F.lit(25)).cast("int").alias("square"),
+    )
+
+
 def q_router_multi_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 router: one event fans out to 0..N typed records; a purchase
     emits BOTH purchase_rec and spend_rec (the claim_ore/claim_yield
@@ -519,11 +574,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b").distinct()
     a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
-    joined = cands.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+    # plain equi-joins: AQE broadcasts while documents fit the threshold and
+    # falls back to shuffled joins beyond it — a forced broadcast() here
+    # would OOM the driver once documents outgrow sandbox scale
+    joined = cands.join(a, "id_a").join(b, "id_b")
     return joined.select(
         "id_a", "id_b",
         ngram_jaccard(F.col("text_a"), F.col("text_b")).alias("jaccard"),
     ).filter(F.col("jaccard") >= 0.2)
+
+
+def q_dedup_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance <= 3 via bit-band
+    blocking (4 bands of 4 bits; pigeonhole guarantees every <=3-bit pair
+    shares a band) + exact bit_count(xor) verification. Never all-pairs."""
+    from ore_etl_spark.functions.dedup import simhash_radius_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    out = simhash_radius_pairs(d, radius=3, n_bands=4)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,6 +603,18 @@ def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return cosine_topk_brute(e.filter(F.col("vec_id") != 0), list(qvec),
                              k=10, round_to=4)
+
+
+def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: probe only the query's signature bucket, exact
+    cosine re-rank within it. Hyperplanes are literal array columns (one
+    aggregate per plane — no per-(plane, dim) expression unroll)."""
+    from ore_etl_spark.functions.similarity import lsh_bucket_ann
+
+    e = _read(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_bucket_ann(e.filter(F.col("vec_id") != 0), list(qvec),
+                          k=10, n_planes=4, round_to=4)
 
 
 def q_sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,18 +640,69 @@ def q_sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_media(d: DataFrame) -> DataFrame:
+    """Deterministic multimodal column over documents: binary media bytes
+    with REAL (ASCII) container magics — GIF89a with a parseable LE u16
+    logical-screen descriptor (dims encoded as printable bytes), RIFF, ID3
+    — so extract_media_meta's binary header parse is exercised while the
+    bytes stay UTF-8-safe (DuckDB's sha256 is VARCHAR-only, so the oracle
+    hashes the same byte sequence as a string)."""
+    did = F.col("doc_id")
+    wl = F.char(65 + did % 26)
+    wh = F.char(65 + F.floor(did / 26).cast("long") % 26)
+    hl = F.char(65 + (did * 3) % 26)
+    hh = F.char(65 + (did * 5) % 26)
+    gif = F.concat(F.lit("GIF89a"), wl, wh, hl, hh)
+    prefix = (
+        F.when(did % 7 == 0, gif)
+        .when(did % 7 == 1, F.lit("RIFF"))
+        .when(did % 7 == 2, F.lit("ID3"))
+        .otherwise(F.lit(""))
+    )
+    return d.select(
+        "doc_id",
+        F.encode(F.concat(prefix, F.col("text")), "UTF-8").alias("media"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column -> typed metadata struct
-    via Arrow-batched mapInPandas (decode stubbed; see functions/multimodal).
-    Rows-only check (mapInPandas has no SQL twin)."""
+    via Arrow-batched mapInPandas (format sniff, GIF dims binary parse,
+    sha256, byte length — see functions/multimodal). Oracle recomputes the
+    same bytes in SQL: format by magic prefix, GIF dims from hex(encode()),
+    sha256 over the identical UTF-8 byte sequence."""
     from ore_etl_spark.functions.multimodal import extract_media_meta
 
     d = _read(spark, sf_dir, "documents")
-    media = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("media"))
-    out = extract_media_meta(media, "media")
+    out = extract_media_meta(_synth_media(d), "media")
     return out.select(
-        "doc_id", F.col("meta.n_bytes").alias("n_bytes"),
-        F.col("meta.sha256").alias("media_sha256"), F.col("meta.format").alias("format"),
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("media_sha256"),
+    )
+
+
+def q_multimodal_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-prune-before-decode (the multimodal design goal,
+    functions/multimodal.py:15-17): filter on cheap sniffed metadata
+    (format, width) BEFORE any pixel decode would run, then aggregate —
+    the expensive decode stage only ever sees the pruned row set
+    (tests/test_multimodal.py pins the pruned-rowcount-through-decode)."""
+    from ore_etl_spark.functions.multimodal import extract_media_meta
+
+    d = _read(spark, sf_dir, "documents")
+    meta = extract_media_meta(_synth_media(d), "media")
+    pruned = meta.filter(
+        (F.col("meta.format") == "gif") & (F.col("meta.width") >= 17000)
+    )
+    return pruned.agg(
+        F.count("*").alias("n_gif_big"),
+        F.sum(F.col("meta.n_bytes")).alias("sum_bytes"),
+        F.min(F.col("meta.width")).alias("min_width"),
+        F.max(F.col("meta.height")).alias("max_height"),
     )
 
 
@@ -588,6 +720,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decode_multiline_merge": q_decode_multiline_merge,
     "decode_unit_conversion": q_decode_unit_conversion,
     "decode_balance_delta": q_decode_balance_delta,
+    "decode_candidates": q_decode_candidates,
+    "decode_xor_rng": q_decode_xor_rng,
     "router_multi_emit": q_router_multi_emit,
     "anti_join_unprocessed": q_anti_join_unprocessed,
     "agg_cube": q_agg_cube,
@@ -608,11 +742,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_radius": q_dedup_simhash_radius,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "sim_topk_cosine": q_sim_topk_cosine,
+    "sim_lsh_ann": q_sim_lsh_ann,
     "sim_neardup_pairs": q_sim_neardup_pairs,
     "sim_label_centroid": q_sim_label_centroid,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_filter_pushdown": q_multimodal_filter_pushdown,
 }
 
 
@@ -676,6 +813,94 @@ def oracle_sql() -> dict[str, str]:
            AND a.doc_id < b2.doc_id)
     """
 
+    # shared SimHash CTEs: tokens -> md5-nibble 16-bit token hash -> per-bit
+    # votes -> 16-bit signature; mirrors functions/dedup.simhash16
+    simhash_ctes = """
+        tok AS (
+          SELECT doc_id, u.tok
+          FROM (SELECT doc_id,
+                  list_filter(string_split(
+                    regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                    t -> t <> '') AS tk
+                FROM documents) d,
+               LATERAL unnest(d.tk) AS u(tok)),
+        th AS (
+          SELECT doc_id,
+            (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS h
+          FROM tok),
+        votes AS (
+          SELECT doc_id, b.i,
+                 sum(CASE WHEN (h // (1 << b.i)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th, LATERAL unnest(generate_series(0, 15)) AS b(i)
+          GROUP BY doc_id, b.i),
+        sig AS (
+          SELECT doc_id,
+                 sum(CASE WHEN v > 0 THEN (1 << i) ELSE 0 END)::BIGINT AS simhash
+          FROM votes GROUP BY doc_id)
+    """
+
+    # shared synthetic-media CTEs (mirror __spark_entry__._synth_media):
+    # ASCII container magics keep the bytes UTF-8-safe, so sha256(VARCHAR)
+    # hashes the identical byte sequence Spark's sha256(binary) sees; GIF
+    # dims are re-parsed from the raw bytes via hex(encode()) -> '0x' cast
+    media_ctes = """
+        m AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0 THEN 'GIF89a'
+                   || chr((65 + doc_id % 26)::INT)
+                   || chr((65 + (doc_id // 26) % 26)::INT)
+                   || chr((65 + (doc_id * 3) % 26)::INT)
+                   || chr((65 + (doc_id * 5) % 26)::INT)
+                 WHEN doc_id % 7 = 1 THEN 'RIFF'
+                 WHEN doc_id % 7 = 2 THEN 'ID3'
+                 ELSE '' END || text AS s
+          FROM documents),
+        meta AS (
+          SELECT doc_id, s,
+            CASE WHEN starts_with(s, 'GIF87a') OR starts_with(s, 'GIF89a')
+                   THEN 'gif'
+                 WHEN starts_with(s, 'RIFF') THEN 'riff'
+                 WHEN starts_with(s, 'ID3') THEN 'mp3'
+                 ELSE 'unknown' END AS format,
+            hex(encode(s)) AS hx,
+            octet_length(encode(s)) AS nb
+          FROM m),
+        mm AS (
+          SELECT doc_id, s, format, nb,
+            CASE WHEN format = 'gif' AND nb >= 10 THEN
+              (('0x' || substr(hx, 13, 2))::INT
+               + 256 * ('0x' || substr(hx, 15, 2))::INT)::INT END AS width,
+            CASE WHEN format = 'gif' AND nb >= 10 THEN
+              (('0x' || substr(hx, 17, 2))::INT
+               + 256 * ('0x' || substr(hx, 19, 2))::INT)::INT END AS height
+          FROM meta)
+    """
+
+    # hyperplane-LSH CTEs over the 64-dim embeddings table (mirror
+    # functions/similarity.hyperplane: md5-derived double in [-1, 1),
+    # sequential left-to-right float fold = Spark's aggregate())
+    ann_ctes = """
+        planes AS (
+          SELECT p.plane,
+                 list_transform(generate_series(0, 63),
+                   d -> ('0x' || substr(md5('hp' || p.plane || 'd' || d), 1, 8))
+                          ::BIGINT / 2147483648.0 - 1.0) AS h
+          FROM (SELECT unnest(generate_series(0, 3)) AS plane) p),
+        dots AS (
+          SELECT e.vec_id, e.embedding, pl.plane,
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> e.embedding[i]::DOUBLE * pl.h[i])) AS dv
+          FROM embeddings e CROSS JOIN planes pl),
+        sigs AS (
+          SELECT vec_id, embedding,
+                 string_agg(CASE WHEN dv >= 0 THEN '1' ELSE '0' END,
+                            '' ORDER BY plane) AS sig
+          FROM dots GROUP BY vec_id, embedding)
+    """
+
     wal = f"WITH wal AS ({WAL_SQL})"
     return {
         "cdc_replay_state": f"""
@@ -732,33 +957,25 @@ def oracle_sql() -> dict[str, str]:
             WITH {lsh_ctes}
             SELECT id_a, id_b, count(*) AS n_bands FROM cand GROUP BY 1, 2
         """,
-        "dedup_simhash": """
-            WITH tok AS (
-              SELECT doc_id, u.tok
-              FROM (SELECT doc_id,
-                      list_filter(string_split(
-                        regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
-                        t -> t <> '') AS tk
-                    FROM documents) d,
-                   LATERAL unnest(d.tk) AS u(tok)),
-            th AS (
-              SELECT doc_id,
-                (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
-              + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
-              + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
-              + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS h
-              FROM tok),
-            votes AS (
-              SELECT doc_id, b.i,
-                     sum(CASE WHEN (h // (1 << b.i)) % 2 = 1 THEN 1 ELSE -1 END) AS v
-              FROM th, LATERAL unnest(generate_series(0, 15)) AS b(i)
-              GROUP BY doc_id, b.i),
-            sig AS (
-              SELECT doc_id,
-                     sum(CASE WHEN v > 0 THEN (1 << i) ELSE 0 END)::BIGINT AS simhash
-              FROM votes GROUP BY doc_id)
+        "dedup_simhash": f"""
+            WITH {simhash_ctes}
             SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
             FROM sig GROUP BY 1
+        """,
+        "dedup_simhash_radius": f"""
+            WITH {simhash_ctes},
+            bands AS (
+              SELECT doc_id, simhash, b.band,
+                     (simhash >> (4 * b.band)) & 15 AS band_key
+              FROM sig, LATERAL unnest(generate_series(0, 3)) AS b(band)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                     a.simhash AS sa, b2.simhash AS sb
+              FROM bands a JOIN bands b2
+                ON a.band = b2.band AND a.band_key = b2.band_key
+               AND a.doc_id < b2.doc_id)
+            SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
         "dedup_ngram_jaccard": f"""
             WITH {lsh_ctes},
@@ -781,6 +998,75 @@ def oracle_sql() -> dict[str, str]:
                      4) AS cos_sim
             FROM embeddings WHERE vec_id <> 0
             ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "sim_lsh_ann": f"""
+            WITH {ann_ctes},
+            q AS (SELECT sig, embedding FROM sigs WHERE vec_id = 0)
+            SELECT s.vec_id,
+                   round(list_cosine_similarity(s.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 4)
+                     AS cos_sim
+            FROM sigs s, q
+            WHERE s.sig = q.sig AND s.vec_id <> 0
+            ORDER BY cos_sim DESC, s.vec_id ASC LIMIT 10
+        """,
+        "multimodal_meta": f"""
+            WITH {media_ctes}
+            SELECT doc_id, format, width, height, nb::BIGINT AS n_bytes,
+                   sha256(s) AS media_sha256
+            FROM mm
+        """,
+        "multimodal_filter_pushdown": f"""
+            WITH {media_ctes}
+            SELECT count(*) AS n_gif_big, sum(nb)::BIGINT AS sum_bytes,
+                   min(width)::INT AS min_width, max(height)::INT AS max_height
+            FROM mm WHERE format = 'gif' AND width >= 17000
+        """,
+        "decode_candidates": """
+            WITH c AS (
+              SELECT event_id, round(value * 1e9)::BIGINT AS base,
+                [{'mask': CASE WHEN (event_id + 1) % 3 = 0 THEN 0
+                               ELSE (event_id + 1) % 33554432 END,
+                  'amount': round(value * 1e9)::BIGINT
+                    + CASE WHEN (event_id * 1) % 2 = 0 THEN 100 ELSE 10000 END},
+                 {'mask': CASE WHEN (event_id + 2) % 3 = 0 THEN 0
+                               ELSE (event_id + 2) % 33554432 END,
+                  'amount': round(value * 1e9)::BIGINT
+                    + CASE WHEN (event_id * 2) % 2 = 0 THEN 200 ELSE 20000 END},
+                 {'mask': CASE WHEN (event_id + 3) % 3 = 0 THEN 0
+                               ELSE (event_id + 3) % 33554432 END,
+                  'amount': round(value * 1e9)::BIGINT
+                    + CASE WHEN (event_id * 3) % 2 = 0 THEN 300 ELSE 30000 END}
+                ] AS cands
+              FROM events),
+            t AS (
+              SELECT event_id, cands,
+                list_filter(cands, x -> x.mask <> 0
+                            AND abs(x.amount - base) < 1000) AS t1,
+                list_filter(cands, x -> x.mask <> 0) AS t2
+              FROM c)
+            SELECT event_id,
+              (CASE WHEN len(t1) > 0 THEN 1
+                    WHEN len(t2) > 0 THEN 2 ELSE 3 END)::INT AS tier,
+              CASE WHEN len(t1) > 0 THEN t1[1].mask
+                   WHEN len(t2) > 0 THEN t2[1].mask
+                   ELSE cands[1].mask END AS chosen_mask,
+              CASE WHEN len(t1) > 0 THEN t1[1].amount
+                   WHEN len(t2) > 0 THEN t2[1].amount
+                   ELSE cands[1].amount END AS chosen_amount
+            FROM t
+        """,
+        "decode_xor_rng": """
+            WITH h AS (
+              SELECT event_id, md5(event_id::VARCHAR) AS hx FROM events),
+            f AS (
+              SELECT event_id,
+                xor(xor(('0x' || substr(hx, 1, 8))::BIGINT,
+                        ('0x' || substr(hx, 9, 8))::BIGINT),
+                    xor(('0x' || substr(hx, 17, 8))::BIGINT,
+                        ('0x' || substr(hx, 25, 8))::BIGINT)) AS xor_fold
+              FROM h)
+            SELECT event_id, xor_fold, (xor_fold % 25)::INT AS square FROM f
         """,
         "sim_neardup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

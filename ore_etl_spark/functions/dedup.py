@@ -6,8 +6,10 @@ Spark-first implementations, all shuffle-conscious:
 - MinHash + LSH: shingle -> K md5-derived minhashes -> band buckets ->
   candidate pairs via self-join *within buckets only* (the LSH point: no
   all-pairs shuffle; cost ~ sum over buckets of |bucket|^2).
-- SimHash: per-token md5 bit votes -> 32-bit signature; near-dups share
-  signature (or differ in few bits via banded lookup).
+- SimHash: per-token md5 bit votes -> 16/32-bit signature; exact dups share
+  a signature, and ``simhash_radius_pairs`` finds near-dups within hamming
+  distance r via bit-band blocking (pigeonhole: r < n_bands guarantees a
+  shared band) + exact bit_count(xor) verification.
 - n-gram Jaccard: verification metric for candidate pairs (exact set
   intersection over shingles) — used after LSH blocking, never all-pairs.
 - embedding cosine near-dup: see functions/similarity.py.
@@ -174,6 +176,64 @@ def simhash32(col: Column) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def simhash_radius_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    radius: int = 3,
+    n_bands: int = 4,
+    bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs within hamming distance <= ``radius`` of a 16-bit
+    SimHash — the banded candidate generation the plain signature-collision
+    path misses (a 1-bit flip is a different bucket).
+
+    Pigeonhole: two signatures differing in <= radius bits agree on at
+    least one of n_bands bit-bands whenever radius < n_bands — so an
+    equi-join on (band, band_key) finds EVERY pair within the radius (no
+    all-pairs), and an exact ``bit_count(xor)`` verifies. Same LSH-banding
+    shape as ``minhash_lsh_candidates``; the signature is a single long,
+    so it rides through the band explode for free.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= radius.
+    """
+    if radius >= n_bands:
+        raise ValueError("need radius < n_bands for the pigeonhole guarantee")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sigs = df.select(F.col(id_col).alias("id"),
+                     simhash16(F.col(text_col)).alias("sig"))
+    bands = sigs.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b * band_bits)
+                .bitwiseAND(F.lit(mask)).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ])).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"),
+             F.col("bb.band_key").alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= radius)
+    )
 
 
 def ngram_jaccard(a: Column, b: Column, k: int = 3) -> Column:

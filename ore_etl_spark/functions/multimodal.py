@@ -62,11 +62,19 @@ def _png_dims(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _gif_dims(b: bytes) -> tuple[int, int] | None:
+    # GIF logical screen descriptor: width/height u16 LE at bytes 6..10
+    if len(b) >= 10 and (b.startswith(b"GIF87a") or b.startswith(b"GIF89a")):
+        w, h = _struct.unpack("<HH", b[6:10])
+        return w, h
+    return None
+
+
 def extract_media_meta(df: DataFrame, bin_col: str = "media") -> DataFrame:
     """Attach a typed metadata struct per media blob (Arrow-batched).
 
-    Header sniffing + PNG dimension parse are real; other formats report
-    dims as NULL until a codec is plugged in.
+    Header sniffing + PNG/GIF dimension parses are real binary parses;
+    other formats report dims as NULL until a codec is plugged in.
     """
     in_ddl = ", ".join(f.name + " " + f.dataType.simpleString()
                        for f in df.schema.fields)
@@ -80,7 +88,7 @@ def extract_media_meta(df: DataFrame, bin_col: str = "media") -> DataFrame:
             for b in pdf[bin_col]:
                 raw = bytes(b) if b is not None else None
                 fmt = sniff_format(raw)
-                dims = _png_dims(raw) if raw else None
+                dims = (_png_dims(raw) or _gif_dims(raw)) if raw else None
                 metas.append({
                     "format": fmt,
                     "width": dims[0] if dims else None,

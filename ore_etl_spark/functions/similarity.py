@@ -10,14 +10,25 @@ Two tiers, as a 100 TB pipeline needs:
   signature from H md5-seeded pseudo-hyperplanes; candidates share a
   signature bucket, then exact cosine re-ranks within buckets only.
   All-pairs never materializes; cost ~ sum(|bucket|^2).
+- ``with_lsh_signature``: write-time signature column — persist (and
+  partition) the table by ``lsh_sig`` so an ANN probe is a
+  partition-pruned scan of one bucket, no per-query signature compute.
 - ``cosine_pairs_threshold``: embedding-cosine near-dup over candidate
-  pairs (used with LSH blocking for dedup).
+  pairs. With ``block_col=None`` it blocks on banded LSH signatures
+  (OR over bands → high recall), NEVER a constant block / cross join.
 
-Hyperplanes are derived from md5 of (dim, plane) — deterministic, no numpy
-state on executors, reproducible in an external oracle.
+Hyperplane components are md5-derived doubles in [-1, 1) — deterministic,
+reproducible in an external SQL oracle. Each plane is materialized as ONE
+literal array column (``F.lit(list)``), so the per-row expression count is
+O(n_planes), not O(n_planes × dim): at 768-dim × 16 planes the old
+per-(plane, dim) unroll built ~12k expression nodes (a codegen /
+constant-fold cliff); the literal-array form builds 16 ``aggregate``
+nodes over folded constants (verified by tests/test_plans.py at dim=256).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -29,7 +40,6 @@ def dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-
 
 def norm2(a: Column) -> Column:
     return F.sqrt(F.aggregate(
@@ -62,27 +72,65 @@ def cosine_topk_brute(
     )
 
 
-def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Sign of <vec, h_plane> where h_plane[d] = md5-derived value in [-1,1)."""
-    comps = [
-        F.element_at(vec, d + 1).cast("double")
-        * (
-            (F.conv(F.substring(F.md5(F.lit(f"hp{plane}d{d}")), 1, 8), 16, 10)
-             .cast("double") / F.lit(2147483648.0)) - F.lit(1.0)
-        )
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-hyperplane: component d is an md5-derived
+    double in [-1, 1). Same formula as the SQL oracle:
+    ('0x' || substr(md5('hp{p}d{d}'), 1, 8)) / 2^31 - 1."""
+    return [
+        int(hashlib.md5(f"hp{plane}d{d}".encode()).hexdigest()[:8], 16)
+        / 2147483648.0 - 1.0
         for d in range(dim)
     ]
-    s = comps[0]
-    for c in comps[1:]:
-        s = s + c
-    return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def _plane_dot(vec: Column, plane_vals: list[float]) -> Column:
+    """<vec, plane> with the plane as ONE literal array column.
+
+    ``F.lit(list)`` produces a single array Literal — constant-folded, no
+    per-dimension expression nodes, stays inside whole-stage codegen."""
+    return F.aggregate(
+        F.zip_with(vec, F.lit(plane_vals), lambda x, h: x.cast("double") * h),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sign_bit(vec: Column, plane: int, dim: int) -> Column:
+    return F.when(_plane_dot(vec, hyperplane(plane, dim)) >= 0,
+                  F.lit("1")).otherwise(F.lit("0"))
 
 
 def lsh_signature(vec_col: Column, n_planes: int, dim: int) -> Column:
     """Concatenated sign bits as a string bucket key."""
-    return F.concat_ws(
-        "", *[_hyperplane_sign(vec_col, p, dim).cast("string") for p in range(n_planes)]
-    )
+    return F.concat_ws("", *[_sign_bit(vec_col, p, dim) for p in range(n_planes)])
+
+
+def with_lsh_signature(df: DataFrame, dim: int, n_planes: int = 8,
+                       vec_col: str = "embedding",
+                       sig_col: str = "lsh_sig") -> DataFrame:
+    """Write-time signature: attach ``sig_col`` so the table can be
+    persisted ``partitionBy(sig_col)`` — an ANN probe then reads exactly
+    one bucket directory (partition pruning), with zero signature work at
+    query time. This is the 100 TB path: signatures are computed once per
+    ingest, not once per query."""
+    return df.withColumn(sig_col, lsh_signature(F.col(vec_col), n_planes, dim))
+
+
+def query_signature(query_vec: list[float], n_planes: int) -> str:
+    """Driver-side signature of a probe vector (same math as the column)."""
+    dim = len(query_vec)
+    bits = []
+    for p in range(n_planes):
+        h = hyperplane(p, dim)
+        s = 0.0
+        for x, hv in zip(query_vec, h):
+            s += float(x) * hv
+        bits.append("1" if s >= 0 else "0")
+    return "".join(bits)
 
 
 def lsh_bucket_ann(
@@ -93,33 +141,73 @@ def lsh_bucket_ann(
     k: int = 10,
     n_planes: int = 6,
     round_to: int = 6,
+    sig_col: str | None = None,
 ) -> DataFrame:
     """ANN: probe only vectors whose LSH bucket matches the query's.
 
-    At scale the signature is precomputed/bucketed at write time; the probe
-    is a partition-pruned scan of one bucket + exact re-rank.
-    """
+    If ``sig_col`` names a precomputed signature column (see
+    ``with_lsh_signature``), the probe is a pure filter + re-rank — at
+    scale a partition-pruned scan of one bucket. Otherwise signatures are
+    computed on the fly (one literal-array dot per plane)."""
     dim = len(query_vec)
-    import hashlib
-
-    def py_sign(plane: int) -> int:
-        s = 0.0
-        for d, x in enumerate(query_vec):
-            h = int(hashlib.md5(f"hp{plane}d{d}".encode()).hexdigest()[:8], 16)
-            s += float(x) * (h / 2147483648.0 - 1.0)
-        return 1 if s >= 0 else 0
-
-    q_sig = "".join(str(py_sign(p)) for p in range(n_planes))
+    q_sig = query_signature(query_vec, n_planes)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sigged = df.withColumn("sig", lsh_signature(F.col(vec_col), n_planes, dim))
+    if sig_col is None:
+        sigged = df.withColumn("_sig", lsh_signature(F.col(vec_col), n_planes, dim))
+        sig_col = "_sig"
+    else:
+        sigged = df
     return (
-        sigged.filter(F.col("sig") == q_sig)
+        sigged.filter(F.col(sig_col) == q_sig)
         .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), q), round_to).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def lsh_band_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    n_bands: int = 8,
+    band_bits: int = 2,
+) -> DataFrame:
+    """Candidate pairs sharing ANY LSH band (banded OR — high recall).
+
+    Uses n_bands × band_bits hyperplanes; each band's bits form a bucket
+    key; candidates are an equi-join on (band, band_key). Only the two id
+    columns shuffle through the join — vectors are joined back by the
+    caller. Returns distinct (id_a, id_b) with id_a < id_b."""
+    if dim is None:
+        raise ValueError("dim is required (hyperplanes are literal arrays)")
+    bands = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("", *[
+                    _sign_bit(F.col(vec_col), b * band_bits + j, dim)
+                    for j in range(band_bits)
+                ]).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ])).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"),
+             F.col("bb.band_key").alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
 
 
@@ -130,15 +218,36 @@ def cosine_pairs_threshold(
     block_col: str | None = "label",
     threshold: float = 0.95,
     round_to: int = 6,
+    dim: int | None = None,
+    n_bands: int = 8,
+    band_bits: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above threshold, blocked to avoid
-    all-pairs (block on `block_col`, or LSH signature when None)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                  F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                  F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"))
-    pairs = a.join(b, ["blk"]).filter(F.col("id_a") < F.col("id_b"))
-    out = pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("cos_sim")
+    all-pairs.
+
+    ``block_col`` given: equi-join within the block (caller-chosen key).
+    ``block_col=None``: banded-LSH candidate generation (``lsh_band_pairs``)
+    then exact cosine verification — never a constant block, never a cross
+    join (the old ``F.lit(0)`` fallback was a full cartesian product).
+    ``dim`` is required in LSH mode (hyperplanes are literal arrays)."""
+    if block_col is not None:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                      F.col(block_col).alias("blk"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                      F.col(block_col).alias("blk"))
+        pairs = a.join(b, ["blk"]).filter(F.col("id_a") < F.col("id_b"))
+        out = pairs.select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("cos_sim"),
+        )
+        return out.filter(F.col("cos_sim") >= threshold)
+    cand = lsh_band_pairs(df, vec_col, id_col, dim=dim,
+                          n_bands=n_bands, band_bits=band_bits)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    out = joined.select(
+        "id_a", "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("cos_sim"),
     )
     return out.filter(F.col("cos_sim") >= threshold)
