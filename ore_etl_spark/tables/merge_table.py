@@ -30,16 +30,22 @@ snapshot-pointer renames. The design mirrors Iceberg's public semantics:
   whose pointer-flip commits the data, "data applied" and "batch recorded"
   are one atomic event — closing the reference's non-atomic
   state-after-save window (deploy-etl.ts:52-72).
+  The manifest keeps the LAST ``batch_window`` ids (default 256), so the
+  snapshot stays O(window) at 10^5+ batches instead of rewriting an
+  O(batches) list every commit. Replays inside the window are exact
+  no-ops; a replay OLDER than the window re-applies but degrades
+  gracefully to LWW-correctness: the conditional MERGE drops every stale
+  row (COW), and MOR re-appended deltas resolve to the identical winner at
+  read time — state converges to the same answer either way, the window
+  only bounds the *wasted work*, mirroring Kafka-consumer replay-horizon
+  semantics. ``n_batches_total`` keeps the full lineage count.
 - **Schema evolution**: additive columns and int→long / float→double
   widening. Snapshots carry versioned schemas; old files are read with
   their original schema and aligned (missing cols → NULL, narrow types →
   CAST) to the current schema at scan time.
 
 Single-writer assumed (one driver loop per table), as in the reference's
-one-process-per-pipeline model. The cumulative ``applied_batch_ids`` list in
-the snapshot is fine for sandbox scale; at 10^10 events the TODO is a
-bloom-filter + retention window, noted in ``docs`` — the protocol is
-unchanged.
+one-process-per-pipeline model.
 """
 
 from __future__ import annotations
@@ -107,6 +113,7 @@ class MergeTable:
         key_cols: list[str],
         version_cols: list[str],
         n_buckets: int = 32,
+        batch_window: int = 256,
     ) -> "MergeTable":
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -118,6 +125,8 @@ class MergeTable:
             "parent": None,
             "batch_id": None,
             "applied_batch_ids": [],
+            "batch_window": batch_window,
+            "n_batches_total": 0,
             "key_cols": key_cols,
             "version_cols": version_cols,
             "n_buckets": n_buckets,
@@ -171,8 +180,24 @@ class MergeTable:
         )
 
     def is_committed(self, batch_id: str, snap: dict | None = None) -> bool:
+        """Exact within the retention window (see module docstring); a
+        replay older than the window returns False and re-applies — safe,
+        conditional LWW / read-time resolution converge identically."""
         snap = snap or self.snapshot()
         return batch_id in snap["applied_batch_ids"]
+
+    def _commit_fields(self, snap: dict, batch_id: str) -> dict:
+        """Snapshot bookkeeping shared by every commit path: bounded
+        applied-batch manifest + monotone version/lineage counters."""
+        window = snap.get("batch_window", 256)
+        applied = (snap["applied_batch_ids"] + [batch_id])[-window:]
+        return {
+            "version": snap["version"] + 1,
+            "parent": snap["version"],
+            "batch_id": batch_id,
+            "applied_batch_ids": applied,
+            "n_batches_total": snap.get("n_batches_total", 0) + 1,
+        }
 
     # ----------------------------------------------------------------- read
     def _align(self, df: DataFrame, target: T.StructType) -> DataFrame:
@@ -377,14 +402,7 @@ class MergeTable:
             {"path": rel, "bucket": b, "schema_id": sid, "delta": True}
             for b, rel in written.items()
         ]
-        new_snap = {
-            **snap,
-            "version": new_ver,
-            "parent": snap["version"],
-            "batch_id": batch_id,
-            "applied_batch_ids": snap["applied_batch_ids"] + [batch_id],
-            "refs": refs,
-        }
+        new_snap = {**snap, **self._commit_fields(snap, batch_id), "refs": refs}
         self._write_snapshot(new_snap)
         m = MergeMetrics(batch_id=batch_id, version=new_ver,
                          n_buckets_touched=len(written))
@@ -453,8 +471,11 @@ class MergeTable:
 
         ``touched_buckets``: pass the batch's bucket set if the caller
         already knows it (the apply pipeline computes it in its stats pass)
-        — saves one job; it must be a SUPERSET of the source's buckets or
-        rows would silently drop.
+        — saves one job. It must be a SUPERSET of the source's buckets:
+        source rows in an un-declared bucket would land in a new file while
+        the old refs for that bucket are retained — silent key duplication
+        that read() would not resolve (no delta flag). The write-back below
+        verifies this and raises before the snapshot flips.
         """
         snap = self.snapshot()
         if self.is_committed(batch_id, snap):
@@ -580,6 +601,16 @@ class MergeTable:
                 b = int(name.split("=", 1)[1])
                 written[b] = os.path.join(rel_dir, name)
 
+        unexpected = set(written) - set(touched)
+        if unexpected:
+            # abort BEFORE the pointer flip: the old snapshot stays current,
+            # the orphan v{N} files are dead weight only (GC'able)
+            raise RuntimeError(
+                f"merge wrote buckets {sorted(unexpected)} outside the caller's "
+                "touched_buckets — it must be a superset of the source's buckets "
+                "(retained old refs for those buckets would silently duplicate keys)"
+            )
+
         new_snap = self._advance(snap, batch_id, written, set(touched))
         self._write_snapshot(new_snap)
         metrics.version = new_ver
@@ -593,14 +624,7 @@ class MergeTable:
         refs = [r for r in snap["refs"] if r["bucket"] not in touched]
         for b, rel in written.items():
             refs.append({"path": rel, "bucket": b, "schema_id": sid})
-        return {
-            **snap,
-            "version": snap["version"] + 1,
-            "parent": snap["version"],
-            "batch_id": batch_id,
-            "applied_batch_ids": snap["applied_batch_ids"] + [batch_id],
-            "refs": refs,
-        }
+        return {**snap, **self._commit_fields(snap, batch_id), "refs": refs}
 
     # ------------------------------------------------------------- lineage
     def _lineage_rows(self, batch_id: str, version: int, m: MergeMetrics):
@@ -632,16 +656,43 @@ class MergeTable:
     # -------------------------------------------------------------- repair
     def update_where(self, condition, assignments: dict, batch_id: str) -> MergeMetrics:
         """Column-repair pass (reference fix-squares, SURVEY T10): rewrite
-        rows matching `condition` with `assignments`, as an UPDATE-only merge
-        that bumps no version (in-place repair, all buckets touched by the
-        predicate)."""
+        rows matching `condition` with `assignments`.
+
+        Bucket-pruned: job 1 finds the predicate's touched buckets AND the
+        per-bucket hit counts in one aggregation (no separate count job);
+        job 2 rewrites ONLY those buckets, resolving any MOR deltas for
+        them in passing. Untouched buckets keep their existing file refs —
+        a repair touching 1% of keys rewrites ~1% of the table, not all of
+        it. Idempotent by batch_id."""
         snap = self.snapshot()
         if self.is_committed(batch_id, snap):
             return MergeMetrics(batch_id=batch_id, version=snap["version"],
                                 skipped_already_committed=True)
-        cur = self.read(with_deleted=True).withColumn(_BUCKET_COL, self.bucket_expr(snap))
-        fixed = cur
-        n_fixed = cur.filter(condition & ~F.col(_DELETED_COL)).count()
+
+        # job 1: touched buckets + hit counts in one pruned-scan aggregate
+        hits = (
+            self.read(with_deleted=True)
+            .filter(condition & ~F.col(_DELETED_COL))
+            .groupBy(self.bucket_expr(snap).alias(_BUCKET_COL))
+            .count()
+            .collect()
+        )
+        touched = {r[_BUCKET_COL] for r in hits}
+        n_fixed = sum(r["count"] for r in hits)
+        if not touched:
+            new_snap = self._advance(snap, batch_id, {}, set())
+            self._write_snapshot(new_snap)
+            return MergeMetrics(batch_id=batch_id, version=new_snap["version"])
+
+        # job 2: rewrite only the touched buckets (LWW-resolved, so the new
+        # file can replace base + delta refs for those buckets)
+        tgt_refs = [r for r in snap["refs"] if r["bucket"] in touched]
+        cur = self._read_refs(snap, tgt_refs, with_deleted=True)
+        if self.has_deltas(snap):
+            from ..operators.lww import dedupe_lww
+
+            cur = dedupe_lww(cur, snap["key_cols"], snap["version_cols"])
+        fixed = cur.withColumn(_BUCKET_COL, self.bucket_expr(snap))
         for col, expr in assignments.items():
             fixed = fixed.withColumn(
                 col, F.when(condition & ~F.col(_DELETED_COL), expr).otherwise(F.col(col))
@@ -649,14 +700,14 @@ class MergeTable:
         new_ver = snap["version"] + 1
         rel_dir = os.path.join("data", f"v{new_ver}")
         out_dir = os.path.join(self.root, rel_dir)
-        fixed.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir)
+        (fixed.repartition(max(1, min(len(touched), 200)), F.col(_BUCKET_COL))
+              .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir))
         written = {}
         for name in os.listdir(out_dir):
             if name.startswith(f"{_BUCKET_COL}="):
                 b = int(name.split("=", 1)[1])
                 written[b] = os.path.join(rel_dir, name)
-        all_buckets = {r["bucket"] for r in snap["refs"]}
-        new_snap = self._advance(snap, batch_id, written, all_buckets)
+        new_snap = self._advance(snap, batch_id, written, touched)
         self._write_snapshot(new_snap)
         m = MergeMetrics(batch_id=batch_id, version=new_ver,
                          n_updated=n_fixed, n_buckets_touched=len(written))

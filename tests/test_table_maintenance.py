@@ -1,0 +1,168 @@
+"""Round-2 table-maintenance hardening:
+
+- bounded applied-batch manifest (retention window): snapshot stays
+  O(window) at 1000 batches; in-window replay is an exact no-op;
+  beyond-window replay re-applies but conditional LWW converges to the
+  identical state;
+- bucket-pruned update_where: a repair touching one bucket rewrites only
+  that bucket — untouched buckets keep their exact file refs;
+- touched_buckets superset guard: a lying caller raises BEFORE the
+  snapshot pointer flips (no silent key duplication).
+"""
+
+import json
+import os
+
+import pyspark.sql.types as T
+import pytest
+from pyspark.sql import functions as F
+
+from ore_etl_spark.tables.merge_table import MergeTable
+
+SCHEMA = T.StructType([
+    T.StructField("repo", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("commit_seq", T.LongType()),
+    T.StructField("event_seq", T.LongType()),
+    T.StructField("content", T.StringType()),
+])
+
+
+def make_table(spark, tmpdir_path, n_buckets=4, batch_window=256):
+    return MergeTable.create(
+        spark, f"{tmpdir_path}/tbl", SCHEMA,
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=n_buckets, batch_window=batch_window,
+    )
+
+
+def df(spark, rows):
+    schema = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType())])
+    return spark.createDataFrame(rows, schema)
+
+
+def state(tbl):
+    return {(r["repo"], r["path"]): (r["commit_seq"], r["content"])
+            for r in tbl.read().collect()}
+
+
+def test_manifest_stays_bounded_at_1000_batches(spark, tmpdir_path):
+    """1000 commits: applied_batch_ids stays O(window), lineage counters
+    keep the full history, snapshot JSON size is bounded."""
+    tbl = make_table(spark, tmpdir_path, batch_window=50)
+    snap = tbl.snapshot()
+    for i in range(1000):  # bookkeeping-level commits (no data files needed)
+        snap = tbl._advance(snap, f"b{i}", {}, set())
+        tbl._write_snapshot(snap)
+    snap = tbl.snapshot()
+    assert snap["version"] == 1000
+    assert snap["n_batches_total"] == 1000
+    assert len(snap["applied_batch_ids"]) == 50
+    # recent batches: exact no-op detection; expired: not remembered
+    assert tbl.is_committed("b999") and tbl.is_committed("b950")
+    assert not tbl.is_committed("b949") and not tbl.is_committed("b0")
+    with open(os.path.join(tbl.root, "snapshots", "v1000.json")) as f:
+        assert len(f.read()) < 8192  # O(window), not O(batches)
+
+
+def test_replay_inside_window_is_noop(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path, batch_window=8)
+    b1 = df(spark, [("a", "x", 1, 0, "v1", "INSERT")])
+    tbl.merge(b1, "b1")
+    m = tbl.merge(b1, "b1")
+    assert m.skipped_already_committed
+    assert state(tbl) == {("a", "x"): (1, "v1")}
+
+
+def test_replay_beyond_window_converges_via_lww(spark, tmpdir_path):
+    """A batch replayed after its id expired from the window re-applies —
+    and MUST converge: every row is stale against the newer state, so the
+    conditional MERGE changes nothing."""
+    tbl = make_table(spark, tmpdir_path, batch_window=2)
+    b1 = df(spark, [("a", "x", 1, 0, "v1", "INSERT"),
+                    ("a", "y", 1, 1, "v1", "INSERT")])
+    tbl.merge(b1, "b1")
+    tbl.merge(df(spark, [("a", "x", 2, 0, "v2", "UPDATE")]), "b2")
+    tbl.merge(df(spark, [("b", "z", 3, 0, "v1", "INSERT")]), "b3")
+    before = state(tbl)
+    assert not tbl.is_committed("b1")  # expired from the window
+    m = tbl.merge(b1, "b1")            # re-applies...
+    assert not m.skipped_already_committed
+    assert m.n_stale_ignored == 2      # ...but every row loses LWW
+    assert state(tbl) == before
+
+
+def test_replay_beyond_window_converges_mor(spark, tmpdir_path):
+    """Same convergence for the MOR path: re-appended deltas lose the
+    read-time LWW resolution."""
+    tbl = make_table(spark, tmpdir_path, batch_window=2)
+    b1 = df(spark, [("a", "x", 1, 0, "v1", "INSERT")])
+    tbl.merge_mor(b1, "b1")
+    tbl.merge_mor(df(spark, [("a", "x", 2, 0, "v2", "UPDATE")]), "b2")
+    tbl.merge_mor(df(spark, [("b", "z", 3, 0, "v1", "INSERT")]), "b3")
+    before = state(tbl)
+    assert not tbl.is_committed("b1")
+    tbl.merge_mor(b1, "b1")
+    assert state(tbl) == before
+
+
+def test_update_where_rewrites_only_touched_buckets(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path, n_buckets=8)
+    rows = [("r", f"p{i}", 1, i, f"v{i}", "INSERT") for i in range(64)]
+    tbl.merge(df(spark, rows), "b1")
+    refs_before = {r["bucket"]: r["path"] for r in tbl.snapshot()["refs"]}
+    assert len(refs_before) > 4  # keys spread over several buckets
+
+    m = tbl.update_where(F.col("path") == "p7",
+                         {"content": F.lit("fixed")}, "repair1")
+    assert m.n_updated == 1
+    refs_after = {r["bucket"]: r["path"] for r in tbl.snapshot()["refs"]}
+    changed = {b for b in refs_before if refs_after[b] != refs_before[b]}
+    assert len(changed) == m.n_buckets_touched == 1  # one bucket rewritten
+    untouched = set(refs_before) - changed
+    assert untouched and all(refs_after[b] == refs_before[b] for b in untouched)
+    s = state(tbl)
+    assert s[("r", "p7")] == (1, "fixed")
+    assert s[("r", "p8")] == (1, "v8")  # neighbors untouched
+
+
+def test_update_where_no_match_is_metadata_only(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path)
+    tbl.merge(df(spark, [("a", "x", 1, 0, "v1", "INSERT")]), "b1")
+    refs_before = tbl.snapshot()["refs"]
+    m = tbl.update_where(F.col("content") == "nope",
+                         {"content": F.lit("?")}, "repair1")
+    assert m.n_updated == 0 and m.n_buckets_touched == 0
+    assert tbl.snapshot()["refs"] == refs_before
+    assert tbl.is_committed("repair1")  # still recorded (idempotent)
+
+
+def test_update_where_resolves_mor_deltas_in_touched_buckets(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path, n_buckets=2)
+    tbl.merge_mor(df(spark, [("a", "x", 1, 0, "old", "INSERT")]), "b1")
+    tbl.merge_mor(df(spark, [("a", "x", 2, 0, "broken", "UPDATE")]), "b2")
+    m = tbl.update_where(F.col("content") == "broken",
+                         {"content": F.lit("fixed")}, "repair1")
+    assert m.n_updated == 1
+    s = state(tbl)
+    assert s[("a", "x")] == (2, "fixed")  # LWW winner repaired, loser gone
+    rows = tbl.read().collect()
+    assert len(rows) == 1  # rewrite resolved the delta (no duplicate key)
+
+
+def test_merge_raises_on_non_superset_touched_buckets(spark, tmpdir_path):
+    """A touched_buckets set missing one of the source's buckets must fail
+    loudly before the commit — the old snapshot stays current."""
+    tbl = make_table(spark, tmpdir_path, n_buckets=8)
+    rows = [("r", f"p{i}", 1, i, f"v{i}", "INSERT") for i in range(32)]
+    src = df(spark, rows)
+    bucketed = src.withColumn("_b", tbl.bucket_expr())
+    buckets = sorted({r["_b"] for r in bucketed.select("_b").distinct().collect()})
+    assert len(buckets) >= 2
+    v_before = tbl.version
+    with pytest.raises(RuntimeError, match="superset"):
+        tbl.merge(src, "bad", touched_buckets=buckets[:-1])  # lie: drop one
+    assert tbl.version == v_before          # pointer never flipped
+    assert not tbl.is_committed("bad")
+    m = tbl.merge(src, "good", touched_buckets=buckets)  # honest superset OK
+    assert m.n_inserted == 32
