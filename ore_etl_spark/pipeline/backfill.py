@@ -23,14 +23,24 @@ from .apply import CdcApplyPipeline
 
 class BackfillRunner:
     def __init__(self, pipeline: CdcApplyPipeline, ledger_path: str,
-                 chunk_size: int, intra_chunk_batches: int = 1):
+                 chunk_size: int, intra_chunk_batches: int = 1,
+                 stale_after_s: float | None = 0.0):
+        """``stale_after_s``: how old a 'running' chunk's heartbeat must be
+        before this runner re-claims it (crash recovery). Default 0 = the
+        single-runner model: any 'running' chunk at claim time is a crash
+        leftover and is resumed from its last_seq. Set a real staleness
+        window (or None = never steal) when several runners share a
+        ledger."""
         self.pipe = pipeline
         self.ledger = ChunkLedger(ledger_path)
         self.chunk_size = chunk_size
         self.intra_chunk_batches = max(1, intra_chunk_batches)
+        self.stale_after_s = stale_after_s
 
     def plan(self) -> list[dict]:
         lo, hi = self.pipe.delivery_range()
+        if hi is None:  # empty WAL — nothing to plan (mirror apply.run())
+            return []
         return self.ledger.plan(lo, hi, self.chunk_size)
 
     def run(self, max_chunks: int | None = None) -> list[dict]:
@@ -38,7 +48,7 @@ class BackfillRunner:
         self.plan()
         done = []
         while max_chunks is None or len(done) < max_chunks:
-            chunk = self.ledger.claim_next()
+            chunk = self.ledger.claim_next(stale_after_s=self.stale_after_s)
             if chunk is None:
                 break
             try:

@@ -17,10 +17,35 @@ snapshot-level no-op.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
 import uuid
+
+
+@contextlib.contextmanager
+def _file_lock(path: str, timeout_s: float = 30.0, poll_s: float = 0.005):
+    """O_CREAT|O_EXCL advisory lock: makes read-modify-write sections atomic
+    across processes sharing the store (the reference gets the same
+    guarantee from Mongo findOneAndUpdate, transaction-transformer.ts:261).
+    POSIX open(O_EXCL) is atomic on local FS and NFS; on an object store
+    this maps to a conditional PUT."""
+    lock = path + ".lock"
+    deadline = time.time() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.time() > deadline:
+                raise TimeoutError(f"could not acquire {lock} in {timeout_s}s")
+            time.sleep(poll_s)
+    try:
+        yield
+    finally:
+        os.close(fd)
+        os.unlink(lock)
 
 
 class _JsonStore:
@@ -78,32 +103,57 @@ class ChunkLedger(_JsonStore):
     """
 
     def plan(self, seq_lo: int, seq_hi: int, chunk_size: int) -> list[dict]:
-        data = self._read()
-        chunks = data.get("chunks", {})
-        lo = seq_lo
-        created = []
-        while lo <= seq_hi:
-            hi = min(lo + chunk_size - 1, seq_hi)
-            cid = f"chunk_{lo}_{hi}"
-            if cid not in chunks:
+        """Extend the ledger up to ``seq_hi``. New chunks start AFTER the
+        max seq_hi already planned — re-planning when the WAL head has
+        advanced never regenerates an overlapping tail chunk (which would
+        re-read and re-merge an already-applied range and leave a
+        double-entry lineage)."""
+        with _file_lock(self.path):
+            data = self._read()
+            chunks = data.get("chunks", {})
+            prev_hi = max((c["seq_hi"] for c in chunks.values()),
+                          default=seq_lo - 1)
+            lo = max(seq_lo, prev_hi + 1)
+            created = []
+            while lo <= seq_hi:
+                hi = min(lo + chunk_size - 1, seq_hi)
+                cid = f"chunk_{lo}_{hi}"
                 chunks[cid] = {"chunk_id": cid, "seq_lo": lo, "seq_hi": hi,
                                "status": "pending", "last_seq": lo - 1,
                                "updated_at": time.time()}
                 created.append(chunks[cid])
-            lo = hi + 1
-        data["chunks"] = chunks
-        self._write(data)
-        return created
+                lo = hi + 1
+            data["chunks"] = chunks
+            self._write(data)
+            return created
 
-    def claim_next(self) -> dict | None:
-        data = self._read()
-        for c in sorted(data.get("chunks", {}).values(), key=lambda c: c["seq_lo"]):
-            if c["status"] in ("pending", "error"):
-                c["status"] = "running"
-                c["updated_at"] = time.time()
-                self._write(data)
-                return dict(c)
-        return None
+    def claim_next(self, stale_after_s: float | None = None) -> dict | None:
+        """Atomically claim the next workable chunk (file-locked
+        read-modify-write: two concurrent claimers can never double-claim).
+
+        'pending' and 'error' chunks are always claimable. 'running'
+        chunks are re-claimable once their updated_at is older than
+        ``stale_after_s`` — a hard crash mid-chunk must not strand its
+        remaining range forever (reference claims status in
+        pending/error/running, transaction-transformer.ts:261). Pass 0 for
+        the single-runner model (any 'running' chunk is a crash leftover),
+        None to never steal (multi-runner with live peers)."""
+        with _file_lock(self.path):
+            data = self._read()
+            now = time.time()
+            for c in sorted(data.get("chunks", {}).values(),
+                            key=lambda c: c["seq_lo"]):
+                claimable = c["status"] in ("pending", "error") or (
+                    c["status"] == "running"
+                    and stale_after_s is not None
+                    and now - c.get("updated_at", 0.0) >= stale_after_s
+                )
+                if claimable:
+                    c["status"] = "running"
+                    c["updated_at"] = now
+                    self._write(data)
+                    return dict(c)
+            return None
 
     def update(self, chunk_id: str, status: str | None = None,
                last_seq: int | None = None, error: str | None = None) -> None:
