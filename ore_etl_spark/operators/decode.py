@@ -61,14 +61,21 @@ def decode_events(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     version = _le_u32(bin_ref, 0)
     blen = _le_u32(bin_ref, 4)
     # substring on binary with fixed huge length: everything after header
-    content = F.substring(bin_ref, 9, 1 << 30).cast("string")
+    body = F.substring(bin_ref, 9, 1 << 30)
+    content = body.cast("string")
     # try_to_binary validates base64 strictly and yields NULL on garbage —
     # plain unbase64 THROWS under ANSI mode (Spark 4 default) and would
-    # fail the whole batch on one malformed payload
+    # fail the whole batch on one malformed payload.
+    # UTF-8 validity = decode/encode round-trip: cast(binary as string)
+    # substitutes U+FFFD for invalid sequences, so re-encoding equals the
+    # original bytes IFF the body was valid UTF-8 (UTF-8 encodings are
+    # unique) — keeps this path bit-agreeing with the pandas parity path,
+    # whose body.decode('utf-8') raises on the same inputs.
     ok = (
         bin_ref.isNotNull()
         & (F.length(bin_ref) >= 8)
         & (F.length(bin_ref) - 8 == blen)
+        & (F.encode(content, "UTF-8") == body)
     )
     return (
         df.withColumn("_bin", F.try_to_binary(F.col(payload_col), F.lit("base64")))

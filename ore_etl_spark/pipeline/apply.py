@@ -53,6 +53,12 @@ def target_schema() -> T.StructType:
     return T.StructType([T.StructField(n, t, True) for n, t in TARGET_FIELDS])
 
 
+# columns decode_events attaches — everything else in a decoded frame is the
+# raw event row (preserved whole in quarantine so a redrive can re-decode)
+DECODE_ADDED = ("payload_version", "content", "content_len",
+                "content_sha256", "is_valid")
+
+
 class CdcApplyPipeline:
     def __init__(
         self,
@@ -160,10 +166,15 @@ class CdcApplyPipeline:
         ]
 
         # --- quarantine (only when present; idempotent per-batch dir) ------
+        # the FULL raw row is kept (not a projection) so redrive() can
+        # re-decode after an upstream repair; attempts counts decode tries
+        # (reference x-retry-count, transaction-consumer.ts:145-174)
         if qn > 0:
+            raw_cols = [c for c in decoded.columns if c not in DECODE_ADDED]
             decoded.filter(~F.col("is_valid")).select(
-                "event_id", "partition_id", "commit_seq", "event_seq",
-                "payload", F.lit("payload_decode_failed").alias("error"), "ts",
+                *raw_cols,
+                F.lit("payload_decode_failed").alias("error"),
+                F.lit(1).alias("attempts"),
             ).write.mode("overwrite").parquet(
                 f"{self.quarantine_dir}/batch_id={batch_id.replace(':', '_')}"
             )
@@ -270,8 +281,74 @@ class CdcApplyPipeline:
     def quarantine(self) -> DataFrame:
         import os
 
-        if not os.path.exists(self.quarantine_dir):
+        if not os.path.exists(self.quarantine_dir) or not os.listdir(self.quarantine_dir):
             schema = ("event_id string, partition_id int, commit_seq long, "
-                      "event_seq long, payload string, error string, ts timestamp")
+                      "event_seq long, payload string, error string, attempts int")
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(f"{self.quarantine_dir}/*")
+        return self.spark.read.option("mergeSchema", "true") \
+            .parquet(f"{self.quarantine_dir}/*")
+
+    def redrive(self, batch_id: str | None = None, fix_fn=None,
+                max_attempts: int = 3) -> dict:
+        """Re-drive quarantined events through decode (reference DLQ
+        redelivery: retry <= 3 then dead-letter for good,
+        transaction-consumer.ts:145-174).
+
+        Rows that now decode merge into the table under ``batch_id``
+        (idempotent: a replayed redrive with the same id no-ops; a crash
+        between merge and quarantine-rewrite re-merges on the next call and
+        conditional LWW converges). Rows that still fail get attempts+1;
+        at ``max_attempts`` they are dead-lettered — kept in quarantine
+        with a final error, never re-attempted. ``fix_fn(df) -> df`` lets
+        the caller repair payloads first (the batch analog of a transient
+        upstream fault clearing).
+        """
+        import shutil
+
+        q = self.quarantine()
+        active = q.filter(F.col("attempts") < max_attempts)
+        dead = q.filter(F.col("attempts") >= max_attempts)
+        if active.isEmpty():
+            return {"n_recovered": 0, "n_still_failed": 0,
+                    "n_dead": dead.count(), "skipped": True}
+
+        src = fix_fn(active) if fix_fn is not None else active
+        dec = decode_events(src.drop("error"))
+
+        # 1) merge recovered rows FIRST (the quarantine files must still
+        #    exist while this job reads them)
+        extra = [c for c in self.optional_cols if c in dec.columns]
+        valid_cols = [n for n, _ in TARGET_FIELDS] + ["op"]
+        recovered = dec.filter(F.col("is_valid")).select(*valid_cols, *extra)
+        batch_id = batch_id or f"redrive:{self.pipeline}"
+        n_rec = recovered.count()
+        if n_rec > 0:
+            if self.mode == "mor":
+                self.table.merge_mor(recovered, batch_id)
+            else:
+                self.table.merge(recovered, batch_id,
+                                 collect_metrics=self.collect_metrics)
+
+        # 2) rewrite the quarantine generation: still-failing rows bump
+        #    attempts (dead-letter at the cap), dead rows carry over
+        raw_cols = [c for c in dec.columns if c not in DECODE_ADDED]
+        still = dec.filter(~F.col("is_valid")).select(
+            *[c for c in raw_cols if c != "attempts"],
+            F.when(F.col("attempts") + 1 >= max_attempts,
+                   F.lit("payload_decode_failed_final"))
+            .otherwise(F.lit("payload_decode_failed")).alias("error"),
+            (F.col("attempts") + 1).alias("attempts"),
+        )
+        survivors = still.unionByName(dead, allowMissingColumns=True)
+        nxt = f"{self.quarantine_dir}.next"
+        survivors.write.mode("overwrite").parquet(f"{nxt}/batch_id=redrive")
+        n_still = still.count()
+        n_dead = dead.count()
+        shutil.rmtree(self.quarantine_dir, ignore_errors=True)
+        import os
+        os.rename(nxt, self.quarantine_dir)
+        rec = {"n_recovered": n_rec, "n_still_failed": n_still,
+               "n_dead": n_dead, "batch_id": batch_id}
+        if self.collect_metrics:
+            self.metrics.append({"redrive": True, **rec})
+        return rec

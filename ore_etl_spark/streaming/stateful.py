@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -26,25 +27,30 @@ STATE_SCHEMA = "max_commit_seq LONG, max_event_seq LONG"
 
 
 def _lww_gate(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    # vectorized: after sorting by (commit_seq, event_seq), a row survives
+    # iff it beats the carried state AND is not an exact duplicate of its
+    # predecessor — equivalent to the running strictly-greater scan, with
+    # no per-row Python loop (numpy compares over the whole Arrow batch)
     if state.exists:
         max_c, max_e = state.get
     else:
         max_c, max_e = -1, -1
     out = []
     for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
         pdf = pdf.sort_values(["commit_seq", "event_seq"])
-        keep = []
-        for row in pdf.itertuples(index=False):
-            v = (int(row.commit_seq), int(row.event_seq))
-            if v > (max_c, max_e):
-                keep.append(True)
-                max_c, max_e = v
-            else:
-                keep.append(False)
-        out.append(pdf[pd.Series(keep, index=pdf.index)])
+        c = pdf["commit_seq"].to_numpy()
+        e = pdf["event_seq"].to_numpy()
+        gt_state = (c > max_c) | ((c == max_c) & (e > max_e))
+        dup_prev = np.zeros(len(c), dtype=bool)
+        dup_prev[1:] = (c[1:] == c[:-1]) & (e[1:] == e[:-1])
+        out.append(pdf[gt_state & ~dup_prev])
+        last = (int(c[-1]), int(e[-1]))  # sorted -> batch max
+        if last > (max_c, max_e):
+            max_c, max_e = last
     state.update((max_c, max_e))
-    result = pd.concat(out) if out else pd.DataFrame()
-    yield result
+    yield pd.concat(out) if out else pd.DataFrame()
 
 
 def streaming_lww_gate(
