@@ -617,6 +617,35 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                           k=10, n_planes=4, round_to=4)
 
 
+def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 8 sampled-centroid cells (vectors vec_id 1..8 as the
+    coarse quantizer — k-means init without iterations, deterministic for
+    the oracle), argmin-L2 assignment, probe = 2 nearest cells, exact
+    cosine re-rank inside them."""
+    from ore_etl_spark.functions.similarity import ivf_ann
+
+    e = _read(spark, sf_dir, "embeddings")
+    rows = (e.filter((F.col("vec_id") >= 0) & (F.col("vec_id") <= 8))
+            .select("vec_id", "embedding").collect())
+    by_id = {r["vec_id"]: list(r["embedding"]) for r in rows}
+    qvec = by_id[0]
+    cell_ids = list(range(1, 9))
+    centroids = [by_id[i] for i in cell_ids]
+    return ivf_ann(e.filter(F.col("vec_id") != 0), qvec, centroids,
+                   k=10, nprobe=2, round_to=4, cell_ids=cell_ids)
+
+
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: exact percentiles per group (median / p90 via linear
+    interpolation — Spark percentile() == DuckDB quantile_cont)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
 def q_sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, label-blocked (never all-pairs)."""
     from ore_etl_spark.functions.similarity import cosine_pairs_threshold
@@ -746,6 +775,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_lsh_ann": q_sim_lsh_ann,
+    "sim_ivf_ann": q_sim_ivf_ann,
+    "agg_percentiles": q_agg_percentiles,
     "sim_neardup_pairs": q_sim_neardup_pairs,
     "sim_label_centroid": q_sim_label_centroid,
     "multimodal_meta": q_multimodal_meta,
@@ -998,6 +1029,38 @@ def oracle_sql() -> dict[str, str]:
                      4) AS cos_sim
             FROM embeddings WHERE vec_id <> 0
             ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "sim_ivf_ann": """
+            WITH cent AS (
+              SELECT vec_id AS cell, embedding AS c
+              FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+            asg AS (
+              SELECT e.vec_id, e.embedding, ct.cell,
+                     list_sum(list_transform(generate_series(1, 64),
+                       i -> (e.embedding[i]::DOUBLE - ct.c[i]::DOUBLE)
+                          * (e.embedding[i]::DOUBLE - ct.c[i]::DOUBLE))) AS d
+              FROM embeddings e CROSS JOIN cent ct),
+            ranked AS (
+              SELECT vec_id, embedding, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d, cell) AS rn
+              FROM asg),
+            cells AS (SELECT vec_id, embedding, cell FROM ranked WHERE rn = 1),
+            qcells AS (SELECT cell FROM ranked WHERE vec_id = 0 AND rn <= 2)
+            SELECT v.vec_id,
+                   round(list_cosine_similarity(v.embedding::DOUBLE[],
+                     (SELECT embedding FROM embeddings
+                      WHERE vec_id = 0)::DOUBLE[]), 4) AS cos_sim
+            FROM cells v
+            WHERE v.cell IN (SELECT cell FROM qcells) AND v.vec_id <> 0
+            ORDER BY cos_sim DESC, v.vec_id ASC LIMIT 10
+        """,
+        "agg_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY event_type
         """,
         "sim_lsh_ann": f"""
             WITH {ann_ctes},

@@ -16,6 +16,10 @@ Two tiers, as a 100 TB pipeline needs:
 - ``cosine_pairs_threshold``: embedding-cosine near-dup over candidate
   pairs. With ``block_col=None`` it blocks on banded LSH signatures
   (OR over bands → high recall), NEVER a constant block / cross join.
+- ``ivf_assign`` / ``ivf_ann`` (second scale path): inverted-file ANN —
+  a small sampled-centroid coarse quantizer assigns every vector to a
+  cell; a probe scans only the query's nprobe nearest cells. Persist
+  ``partitionBy(ivf_cell)`` and the probe is a partition-pruned scan.
 
 Hyperplane components are md5-derived doubles in [-1, 1) — deterministic,
 reproducible in an external SQL oracle. Each plane is materialized as ONE
@@ -208,6 +212,95 @@ def lsh_band_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path besides hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    cell_ids: list[int] | None = None,
+) -> DataFrame:
+    """Assign each vector to its nearest coarse-quantizer centroid.
+
+    The centroid table is tiny by design (K cells for N >> K vectors), so
+    it ships as K literal arrays — one squared-L2 ``aggregate`` per cell,
+    argmin via ``array_min`` over (distance, cell) structs (struct ordering
+    breaks ties on the lower cell id, matching the SQL oracle's
+    ORDER BY d, cell). At scale the assignment is a narrow map over the
+    ingest; persisting ``partitionBy(cell_col)`` makes every probe a
+    partition-pruned scan of nprobe cells."""
+    if cell_ids is None:
+        cell_ids = list(range(len(centroids)))
+    structs = [
+        F.struct(
+            l2sq(F.col(vec_col), F.lit([float(x) for x in c])).alias("d"),
+            F.lit(int(i)).alias("cell"),
+        )
+        for i, c in zip(cell_ids, centroids)
+    ]
+    return df.withColumn(cell_col, F.array_min(F.array(*structs))["cell"])
+
+
+def ivf_query_cells(query_vec: list[float], centroids: list[list[float]],
+                    cell_ids: list[int] | None = None, nprobe: int = 2) -> list[int]:
+    """Driver-side: the nprobe nearest cells for a probe vector (same
+    sequential double math as the column expression)."""
+    if cell_ids is None:
+        cell_ids = list(range(len(centroids)))
+    dists = []
+    for i, c in zip(cell_ids, centroids):
+        s = 0.0
+        for x, y in zip(query_vec, c):
+            s += (float(x) - float(y)) * (float(x) - float(y))
+        dists.append((s, i))
+    dists.sort()
+    return [i for _, i in dists[:nprobe]]
+
+
+def ivf_ann(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 2,
+    round_to: int = 6,
+    cell_ids: list[int] | None = None,
+    cell_col: str | None = None,
+) -> DataFrame:
+    """IVF ANN probe: scan only the query's nprobe nearest cells, exact
+    cosine re-rank within them. Pass ``cell_col`` if assignments were
+    precomputed at write time (partition-pruned probe); otherwise cells
+    are computed on the fly."""
+    probe = ivf_query_cells(query_vec, centroids, cell_ids, nprobe)
+    if cell_col is None:
+        df = ivf_assign(df, centroids, vec_col, "_cell", cell_ids)
+        cell_col = "_cell"
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.filter(F.col(cell_col).isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), round_to).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
     )
 
 

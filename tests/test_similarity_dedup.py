@@ -136,6 +136,62 @@ def test_cosine_pairs_lsh_fallback_no_cross_join_and_matches_brute(spark):
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+def test_ivf_assignment_and_probe(spark):
+    """Every vector lands in its argmin-L2 cell; the probe scans exactly
+    the nprobe nearest cells and equals a manual filter + exact re-rank."""
+    from ore_etl_spark.functions.similarity import (
+        ivf_ann, ivf_assign, ivf_query_cells,
+    )
+
+    dim = 8
+    vecs = _random_vecs(100, dim, seed=21)
+    centroids = vecs[:5]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, embedding array<double>"
+    )
+    assigned = ivf_assign(df, centroids)
+    # python-side argmin replicates the column expression
+    rows = {r["vec_id"]: r["ivf_cell"] for r in assigned.collect()}
+    for i, v in enumerate(vecs):
+        dists = sorted(
+            (sum((x - y) * (x - y) for x, y in zip(v, c)), ci)
+            for ci, c in enumerate(centroids)
+        )
+        assert rows[i] == dists[0][1]
+
+    q = vecs[7]
+    probe_cells = ivf_query_cells(q, centroids, nprobe=2)
+    assert len(probe_cells) == 2
+    got = ivf_ann(df, q, centroids, k=5, nprobe=2).collect()
+    manual = (
+        assigned.filter(F.col("ivf_cell").isin(probe_cells))
+    )
+    assert {r["vec_id"] for r in got} <= {r["vec_id"] for r in manual.collect()}
+    assert got[0]["vec_id"] == 7  # the query itself is its own best match
+
+
+def test_ivf_write_time_cells_prune_partitions(spark, tmpdir_path):
+    from ore_etl_spark.functions.similarity import ivf_assign, ivf_query_cells
+
+    dim = 8
+    vecs = _random_vecs(120, dim, seed=33)
+    centroids = vecs[:4]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, embedding array<double>"
+    )
+    path = f"{tmpdir_path}/ivf_table"
+    ivf_assign(df, centroids).write.partitionBy("ivf_cell").parquet(path)
+    probe = ivf_query_cells(vecs[9], centroids, nprobe=1)
+    scan = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probe))
+    plan = plan_of(scan)
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters")[1][:200]
+    assert scan.count() > 0
+
+
+# ---------------------------------------------------------------------------
 # SimHash hamming-radius candidates
 # ---------------------------------------------------------------------------
 
