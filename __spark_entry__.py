@@ -122,6 +122,53 @@ def q_cdc_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "click_id")
 
 
+_CHANGELOG_W1 = 250  # watermark: v0 events for doc_id <= 250 (sf-independent)
+
+
+def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC *read* side (MergeTable.changes / Delta-CDF analog): keyed delta
+    between the LWW state at watermark W1 and the final state. Emits
+    insert / delete / update_preimage / update_postimage rows; keys whose
+    winning version is identical on both sides emit nothing, and a key
+    created+deleted inside the interval emits nothing (net effect).
+    The table-backed variant (manifest-diff bucket pruning) is pinned by
+    tests/test_changelog_gc.py; this functional form is the oracle gate."""
+    keys, vers = ["repo", "path"], ["commit_seq", "event_seq"]
+    wal = derive_wal(spark, sf_dir, with_payload=False).filter(~F.col("corrupt"))
+    cols = ["repo", "path", "op", "commit_seq", "content"]
+    a = dedupe_lww(wal.filter(F.col("commit_seq") <= _CHANGELOG_W1), keys, vers)
+    b = dedupe_lww(wal, keys, vers)
+    j = a.select(*cols).alias("a").join(
+        b.select(*cols).alias("b"),
+        (F.col("a.repo") == F.col("b.repo")) & (F.col("a.path") == F.col("b.path")),
+        "full_outer",
+    )
+    a_live = F.col("a.repo").isNotNull() & (F.col("a.op") != F.lit("DELETE"))
+    b_live = F.col("b.repo").isNotNull() & (F.col("b.op") != F.lit("DELETE"))
+    ver_changed = (
+        F.coalesce(F.col("a.commit_seq"), F.lit(-1))
+        != F.coalesce(F.col("b.commit_seq"), F.lit(-1))
+    )
+
+    def img(side: str, ctype: str, cond):
+        return F.when(cond, F.struct(
+            F.col(f"{side}.repo").alias("repo"),
+            F.col(f"{side}.path").alias("path"),
+            F.lit(ctype).alias("change_type"),
+            F.col(f"{side}.commit_seq").alias("commit_seq"),
+            F.sha2(F.col(f"{side}.content"), 256).alias("content_sha256"),
+        ))
+
+    upd = a_live & b_live & ver_changed
+    packed = F.array_compact(F.array(
+        img("b", "insert", b_live & ~a_live & ver_changed),
+        img("a", "delete", a_live & ~b_live),
+        img("a", "update_preimage", upd),
+        img("b", "update_postimage", upd),
+    ))
+    return j.select(F.explode(packed).alias("c")).select("c.*")
+
+
 # ---------------------------------------------------------------------------
 # Analytics probes (SURVEY §2.5-2.7)
 # ---------------------------------------------------------------------------
@@ -233,6 +280,33 @@ def q_win_lag_downtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = ev.withColumn("gap_s", epoch - F.lag(epoch).over(w))
     return gaps.filter(F.col("gap_s") > 3600).select(
         "user_id", "event_id", "gap_s"
+    )
+
+
+def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (W1-W3 composition): per-user sessions split on
+    inter-event gaps > 30 min — lag for the gap, a running sum of
+    new-session flags for the session id, then one aggregate per session.
+    One shuffle on user_id feeds both windows and the groupBy (same key),
+    so the plan stays a single exchange at any scale."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # parquet ts is NTZ
+    s = (
+        ev.withColumn("gap_s", epoch - F.lag(epoch).over(w))
+        .withColumn(
+            "new_sess",
+            F.when(F.col("gap_s").isNull() | (F.col("gap_s") > 1800), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max(epoch) - F.min(epoch)).alias("dur_s"),
+        F.round(F.sum("value"), 4).alias("total_value"),
     )
 
 
@@ -743,6 +817,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_gap_audit": q_cdc_gap_audit,
     "cdc_asof_join": q_cdc_asof_join,
     "cdc_quarantine_audit": q_cdc_quarantine_audit,
+    "cdc_changelog": q_cdc_changelog,
     "decode_log_regex": q_decode_log_regex,
     "decode_bitmask": q_decode_bitmask,
     "decode_positional": q_decode_positional,
@@ -763,6 +838,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_multi_count": q_agg_multi_count,
     "win_running_total": q_win_running_total,
     "win_lag_downtime": q_win_lag_downtime,
+    "win_sessionize": q_win_sessionize,
     "sort_recent_n": q_sort_recent_n,
     "pricing_summary": q_pricing_summary,
     "join_two_aggs": q_join_two_aggs,
@@ -950,6 +1026,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, count(*) AS n_quarantined,
                    min(commit_seq) AS first_bad_seq
             FROM wal WHERE corrupt GROUP BY repo
+        """,
+        "cdc_changelog": f"""
+            {wal}, ra AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY repo, path
+                ORDER BY commit_seq DESC, event_seq DESC) AS rn
+              FROM wal WHERE NOT corrupt AND commit_seq <= {_CHANGELOG_W1}),
+            rb AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY repo, path
+                ORDER BY commit_seq DESC, event_seq DESC) AS rn
+              FROM wal WHERE NOT corrupt),
+            a AS (SELECT * FROM ra WHERE rn = 1),
+            b AS (SELECT * FROM rb WHERE rn = 1),
+            j AS (
+              SELECT a.op AS a_op, b.op AS b_op,
+                     a.repo AS a_repo, a.path AS a_path,
+                     b.repo AS b_repo, b.path AS b_path,
+                     a.commit_seq AS a_seq, b.commit_seq AS b_seq,
+                     a.content AS a_content, b.content AS b_content,
+                     (a.op IS NOT NULL AND a.op <> 'DELETE') AS a_live,
+                     (b.op IS NOT NULL AND b.op <> 'DELETE') AS b_live,
+                     coalesce(a.commit_seq, -1) <> coalesce(b.commit_seq, -1)
+                       AS ver_changed
+              FROM a FULL OUTER JOIN b
+                ON a.repo = b.repo AND a.path = b.path)
+            SELECT b_repo AS repo, b_path AS path, 'insert' AS change_type,
+                   b_seq AS commit_seq, sha256(b_content) AS content_sha256
+            FROM j WHERE b_live AND NOT a_live AND ver_changed
+            UNION ALL
+            SELECT a_repo, a_path, 'delete', a_seq, sha256(a_content)
+            FROM j WHERE a_live AND NOT b_live
+            UNION ALL
+            SELECT a_repo, a_path, 'update_preimage', a_seq, sha256(a_content)
+            FROM j WHERE a_live AND b_live AND ver_changed
+            UNION ALL
+            SELECT b_repo, b_path, 'update_postimage', b_seq, sha256(b_content)
+            FROM j WHERE a_live AND b_live AND ver_changed
         """,
         "text_features": f"""
             WITH base AS (
@@ -1334,6 +1448,27 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
               FROM events)
             SELECT user_id, event_id, gap_s FROM g WHERE gap_s > 3600
+        """,
+        "win_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     floor(epoch(ts))::BIGINT AS ep,
+                     floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+              FROM events),
+            s AS (
+              SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 1800
+                             THEN 1 ELSE 0 END AS new_sess
+              FROM g),
+            u AS (
+              SELECT *, sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM s)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   (max(ep) - min(ep))::BIGINT AS dur_s,
+                   round(sum(value), 4) AS total_value
+            FROM u GROUP BY user_id, session_id
         """,
         "sort_recent_n": """
             SELECT event_id, user_id, event_type FROM events

@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 from dataclasses import dataclass
 
@@ -114,6 +115,7 @@ class MergeTable:
         version_cols: list[str],
         n_buckets: int = 32,
         batch_window: int = 256,
+        stats_cols: list[str] | None = None,
     ) -> "MergeTable":
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -132,6 +134,11 @@ class MergeTable:
             "n_buckets": n_buckets,
             "schemas": {"0": schema.json()},
             "current_schema_id": "0",
+            # manifest column bounds (Iceberg manifest lower/upper_bounds
+            # parity): per-file min/max for these columns, harvested from the
+            # parquet footers at commit time, enable file skipping in
+            # read_where() without any extra Spark job.
+            "stats_cols": stats_cols if stats_cols is not None else list(version_cols),
             "refs": [],
         }
         t = cls(spark, root)
@@ -271,6 +278,49 @@ class MergeTable:
         raw = self._read_refs(snap, refs, with_deleted=True)
         return self._resolve(snap, raw, with_deleted)
 
+    def prune_refs(self, snap: dict, col: str, lo=None, hi=None) -> tuple[list[dict], int]:
+        """Manifest-bounds file skipping: keep only refs whose [min,max] for
+        `col` can intersect [lo,hi]. Returns (kept_refs, total_refs).
+
+        LWW-safety: a bucket that has unresolved delta refs is NEVER pruned
+        (partially reading a key's delta chain could resurrect an older
+        version); COW buckets hold each key exactly once, so dropping a
+        bounds-disjoint file cannot change any surviving row."""
+        delta_buckets = {r["bucket"] for r in snap["refs"] if r.get("delta")}
+
+        def keep(r: dict) -> bool:
+            if r["bucket"] in delta_buckets:
+                return True
+            b = (r.get("bounds") or {}).get(col)
+            if not b:
+                return True  # no stats -> cannot prove disjoint
+            mn, mx = b
+            if lo is not None and mx < lo:
+                return False
+            if hi is not None and mn > hi:
+                return False
+            return True
+
+        kept = [r for r in snap["refs"] if keep(r)]
+        return kept, len(snap["refs"])
+
+    def read_where(self, col: str, lo=None, hi=None, with_deleted: bool = False) -> DataFrame:
+        """Range read with manifest-level file skipping on `col` (must be in
+        the table's ``stats_cols``). Files whose footer bounds are disjoint
+        from [lo, hi] are never opened — on top of parquet row-group
+        pushdown, this skips whole files from the driver without a job.
+        The residual predicate is still applied (bounds are necessary, not
+        sufficient)."""
+        snap = self.snapshot()
+        refs, _ = self.prune_refs(snap, col, lo, hi)
+        raw = self._read_refs(snap, refs, with_deleted=True)
+        df = self._resolve(snap, raw, with_deleted)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
     def bucket_expr(self, snap: dict | None = None):
         snap = snap or self.snapshot()
         return F.pmod(
@@ -390,18 +440,10 @@ class MergeTable:
             src = src.repartition(n_parts, F.col(_BUCKET_COL))
         src.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir)
 
-        written = {}
-        for name in os.listdir(out_dir):
-            if name.startswith(f"{_BUCKET_COL}="):
-                b = int(name.split("=", 1)[1])
-                written[b] = os.path.join(rel_dir, name)
+        written = self._list_written(out_dir, rel_dir)
 
         # delta semantics: APPEND refs (never drop prior refs)
-        sid = snap["current_schema_id"]
-        refs = list(snap["refs"]) + [
-            {"path": rel, "bucket": b, "schema_id": sid, "delta": True}
-            for b, rel in written.items()
-        ]
+        refs = list(snap["refs"]) + self._make_refs(snap, written, delta=True)
         new_snap = {**snap, **self._commit_fields(snap, batch_id), "refs": refs}
         self._write_snapshot(new_snap)
         m = MergeMetrics(batch_id=batch_id, version=new_ver,
@@ -439,11 +481,7 @@ class MergeTable:
         out_dir = os.path.join(self.root, rel_dir)
         (resolved.repartition(min(snap["n_buckets"], 256), F.col(_BUCKET_COL))
                  .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir))
-        written = {}
-        for name in os.listdir(out_dir):
-            if name.startswith(f"{_BUCKET_COL}="):
-                b = int(name.split("=", 1)[1])
-                written[b] = os.path.join(rel_dir, name)
+        written = self._list_written(out_dir, rel_dir)
         all_buckets = {r["bucket"] for r in snap["refs"]}
         new_snap = self._advance(snap, batch_id, written, all_buckets)
         self._write_snapshot(new_snap)
@@ -595,11 +633,7 @@ class MergeTable:
         if collect_metrics:
             merged.unpersist()
 
-        written = {}
-        for name in os.listdir(out_dir):
-            if name.startswith(f"{_BUCKET_COL}="):
-                b = int(name.split("=", 1)[1])
-                written[b] = os.path.join(rel_dir, name)
+        written = self._list_written(out_dir, rel_dir)
 
         unexpected = set(written) - set(touched)
         if unexpected:
@@ -620,11 +654,69 @@ class MergeTable:
         return metrics
 
     def _advance(self, snap: dict, batch_id: str, written: dict, touched: set) -> dict:
-        sid = snap["current_schema_id"]
         refs = [r for r in snap["refs"] if r["bucket"] not in touched]
-        for b, rel in written.items():
-            refs.append({"path": rel, "bucket": b, "schema_id": sid})
+        refs += self._make_refs(snap, written)
         return {**snap, **self._commit_fields(snap, batch_id), "refs": refs}
+
+    def _list_written(self, out_dir: str, rel_dir: str) -> dict:
+        """Map bucket id -> relative bucket-dir path for a finished write."""
+        written = {}
+        for name in os.listdir(out_dir):
+            if name.startswith(f"{_BUCKET_COL}="):
+                b = int(name.split("=", 1)[1])
+                written[b] = os.path.join(rel_dir, name)
+        return written
+
+    def _make_refs(self, snap: dict, written: dict, delta: bool = False) -> list[dict]:
+        sid = snap["current_schema_id"]
+        cols = snap.get("stats_cols") or []
+        refs = []
+        for b, rel in written.items():
+            r: dict = {"path": rel, "bucket": b, "schema_id": sid}
+            if delta:
+                r["delta"] = True
+            if cols:
+                bounds = self._ref_bounds(rel, cols)
+                if bounds:
+                    r["bounds"] = bounds
+            refs.append(r)
+        return refs
+
+    def _ref_bounds(self, rel: str, cols: list[str]) -> dict:
+        """Per-ref min/max for `cols`, harvested from parquet footers on the
+        driver (Iceberg manifest lower/upper_bounds parity). O(files)
+        metadata-only reads, no Spark job — at 100 TB this is the manifest
+        write that makes read-side file skipping free."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            return {}
+        lo: dict = {}
+        hi: dict = {}
+        ok = set(cols)
+        full = os.path.join(self.root, rel)
+        for fname in sorted(os.listdir(full)):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(full, fname)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for c in list(ok):
+                ci = idx.get(c)
+                if ci is None:
+                    ok.discard(c)
+                    continue
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        ok.discard(c)
+                        break
+                    mn, mx = st.min, st.max
+                    if not isinstance(mn, (bool, int, float, str)):
+                        ok.discard(c)  # non-JSON-portable stats type
+                        break
+                    lo[c] = mn if c not in lo else min(lo[c], mn)
+                    hi[c] = mx if c not in hi else max(hi[c], mx)
+        return {c: [lo[c], hi[c]] for c in ok if c in lo}
 
     # ------------------------------------------------------------- lineage
     def _lineage_rows(self, batch_id: str, version: int, m: MergeMetrics):
@@ -702,14 +794,167 @@ class MergeTable:
         out_dir = os.path.join(self.root, rel_dir)
         (fixed.repartition(max(1, min(len(touched), 200)), F.col(_BUCKET_COL))
               .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir))
-        written = {}
-        for name in os.listdir(out_dir):
-            if name.startswith(f"{_BUCKET_COL}="):
-                b = int(name.split("=", 1)[1])
-                written[b] = os.path.join(rel_dir, name)
+        written = self._list_written(out_dir, rel_dir)
         new_snap = self._advance(snap, batch_id, written, touched)
         self._write_snapshot(new_snap)
         m = MergeMetrics(batch_id=batch_id, version=new_ver,
                          n_updated=n_fixed, n_buckets_touched=len(written))
         self._append_lineage(self._lineage_rows(batch_id, new_ver, m))
         return m
+
+    # ----------------------------------------------------------- changelog
+    @staticmethod
+    def _refs_by_bucket(snap: dict) -> dict[int, frozenset]:
+        m: dict[int, set] = {}
+        for r in snap["refs"]:
+            m.setdefault(r["bucket"], set()).add(r["path"])
+        return {b: frozenset(p) for b, p in m.items()}
+
+    def changed_buckets(self, from_version: int, to_version: int | None = None) -> list[int]:
+        """Buckets whose file-ref sets differ between the two snapshots —
+        the manifest diff that makes ``changes()`` scan O(changed data),
+        never O(table)."""
+        snap_a = self.snapshot_at(from_version)
+        snap_b = self.snapshot() if to_version is None else self.snapshot_at(to_version)
+        ba, bb = self._refs_by_bucket(snap_a), self._refs_by_bucket(snap_b)
+        return sorted(b for b in set(ba) | set(bb) if ba.get(b) != bb.get(b))
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental changelog between two committed snapshots (Delta
+        CDF / Iceberg incremental-read parity; the CDC *read* side of this
+        CDC engine: downstream consumers pull keyed deltas instead of
+        re-reading the table).
+
+        Emits one row per change with ``_change_type`` in
+        {'insert', 'update_preimage', 'update_postimage', 'delete'} plus
+        ``_from_version``/``_to_version``. Scans ONLY buckets whose ref
+        sets differ between the snapshots (manifest diff), resolves each
+        side with the same LWW rules as ``read``, and diffs on the key:
+        a net-unchanged key (same winning version on both sides) emits
+        nothing, so replay/compaction churn does not produce phantom
+        changes. Keys created *and* deleted inside the interval emit
+        nothing (net effect, matching a two-version table diff).
+        """
+        snap_a = self.snapshot_at(from_version)
+        snap_b = self.snapshot() if to_version is None else self.snapshot_at(to_version)
+        key_cols = snap_b["key_cols"]
+        version_cols = snap_b["version_cols"]
+        target = self.schema(snap_b)
+        full = T.StructType(
+            target.fields + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
+        )
+        out_schema = T.StructType(
+            target.fields
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_from_version", T.IntegerType(), False),
+                T.StructField("_to_version", T.IntegerType(), False),
+            ]
+        )
+        ba, bb = self._refs_by_bucket(snap_a), self._refs_by_bucket(snap_b)
+        changed = {b for b in set(ba) | set(bb) if ba.get(b) != bb.get(b)}
+        if not changed:
+            return self.spark.createDataFrame([], out_schema)
+
+        from ..operators.lww import dedupe_lww
+
+        def side(snap: dict) -> DataFrame:
+            refs = [r for r in snap["refs"] if r["bucket"] in changed]
+            df = self._read_refs(snap, refs, with_deleted=True)
+            if any(r.get("delta") for r in refs):
+                df = dedupe_lww(df, key_cols, version_cols)
+            return self._align(df, full)
+
+        a, b = side(snap_a).alias("a"), side(snap_b).alias("b")
+        cond = None
+        for c in key_cols:
+            eq = F.col(f"a.{c}") == F.col(f"b.{c}")
+            cond = eq if cond is None else (cond & eq)
+        j = a.join(b, cond, "full_outer")
+
+        a_p = F.col(f"a.{key_cols[0]}").isNotNull()
+        b_p = F.col(f"b.{key_cols[0]}").isNotNull()
+        a_live = a_p & ~F.coalesce(F.col(f"a.{_DELETED_COL}"), F.lit(False))
+        b_live = b_p & ~F.coalesce(F.col(f"b.{_DELETED_COL}"), F.lit(False))
+        a_ver = F.struct(*[F.col(f"a.{c}") for c in version_cols])
+        b_ver = F.struct(*[F.col(f"b.{c}") for c in version_cols])
+        changed_ver = ~a_p | ~b_p | (a_ver != b_ver)
+
+        def img(alias: str, ctype: str, when):
+            return F.when(
+                when,
+                F.struct(
+                    *[F.col(f"{alias}.{f.name}").alias(f.name) for f in target.fields],
+                    F.lit(ctype).alias("_change_type"),
+                ),
+            )
+
+        upd = a_live & b_live & changed_ver
+        packed = F.array_compact(
+            F.array(
+                img("b", "insert", b_live & ~a_live & changed_ver),
+                img("a", "delete", a_live & ~b_live),
+                img("a", "update_preimage", upd),
+                img("b", "update_postimage", upd),
+            )
+        )
+        return (
+            j.select(F.explode(packed).alias("c"))
+            .select("c.*")
+            .withColumn("_from_version", F.lit(snap_a["version"]))
+            .withColumn("_to_version", F.lit(snap_b["version"]))
+        )
+
+    # -------------------------------------------------------- maintenance
+    def expire_snapshots(self, keep_last: int = 10) -> list[int]:
+        """Drop snapshot JSONs older than the newest ``keep_last`` versions
+        (Iceberg expire_snapshots parity). Time travel to an expired version
+        raises; the current snapshot is always retained. Data files are NOT
+        touched — run ``vacuum()`` afterwards to reclaim storage."""
+        cur = self.version
+        cutoff = cur - max(keep_last, 1) + 1
+        sdir = os.path.join(self.root, "snapshots")
+        expired = []
+        for name in sorted(os.listdir(sdir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            v = int(name[1:-5])
+            if v < cutoff:
+                os.remove(os.path.join(sdir, name))
+                expired.append(v)
+        return expired
+
+    def vacuum(self) -> dict:
+        """Delete data directories referenced by NO remaining snapshot:
+        both files orphaned by ``expire_snapshots`` and files from aborted
+        commits whose pointer never flipped (e.g. a merge that failed the
+        touched-bucket superset guard). Safe under the single-writer model:
+        every live reader resolves refs through a retained snapshot."""
+        sdir = os.path.join(self.root, "snapshots")
+        referenced: set[str] = set()
+        for name in os.listdir(sdir):
+            if name.startswith("v") and name.endswith(".json"):
+                with open(os.path.join(sdir, name)) as f:
+                    for r in json.load(f)["refs"]:
+                        referenced.add(r["path"])
+        removed_dirs = 0
+        freed_bytes = 0
+        data_root = os.path.join(self.root, "data")
+        for vdir in sorted(os.listdir(data_root)):
+            vpath = os.path.join(data_root, vdir)
+            if not os.path.isdir(vpath):
+                continue
+            for bdir in sorted(os.listdir(vpath)):
+                rel = os.path.join("data", vdir, bdir)
+                bpath = os.path.join(vpath, bdir)
+                if not os.path.isdir(bpath) or rel in referenced:
+                    continue
+                freed_bytes += sum(
+                    os.path.getsize(os.path.join(dp, fn))
+                    for dp, _, fns in os.walk(bpath) for fn in fns
+                )
+                shutil.rmtree(bpath)
+                removed_dirs += 1
+            if not any(e.is_dir() for e in os.scandir(vpath)):
+                shutil.rmtree(vpath)  # only _SUCCESS markers left
+        return {"removed_dirs": removed_dirs, "freed_bytes": freed_bytes}

@@ -1,0 +1,207 @@
+"""Changelog read (Delta CDF / Iceberg incremental-read parity), snapshot
+expiry + vacuum GC, and manifest-bounds file skipping.
+
+These are the table features a downstream consumer of the CDC engine needs:
+pull keyed deltas between two versions instead of re-reading the table
+(``changes``), keep storage bounded under continuous ingest
+(``expire_snapshots`` + ``vacuum``), and skip files by footer bounds on
+range scans (``read_where``). Reference analog: the publish/lineage hooks in
+/root/reference/src/services/deploy-etl.ts push downstream notifications;
+``changes()`` is the scalable pull-based replacement.
+"""
+
+import os
+
+import pyspark.sql.types as T
+import pytest
+from pyspark.sql import functions as F
+
+from ore_etl_spark.tables.merge_table import MergeTable
+
+SCHEMA = T.StructType([
+    T.StructField("repo", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("commit_seq", T.LongType()),
+    T.StructField("event_seq", T.LongType()),
+    T.StructField("content", T.StringType()),
+])
+
+
+def make_table(spark, tmpdir_path, n_buckets=4, **kw):
+    return MergeTable.create(
+        spark, f"{tmpdir_path}/tbl", SCHEMA,
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=n_buckets, **kw,
+    )
+
+
+def df(spark, rows):
+    schema = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType())])
+    return spark.createDataFrame(rows, schema)
+
+
+def change_set(tbl, v_from, v_to=None):
+    return {
+        (r["_change_type"], r["repo"], r["path"], r["commit_seq"], r["content"])
+        for r in tbl.changes(v_from, v_to).collect()
+    }
+
+
+# ---------------------------------------------------------------- changes()
+
+def test_changes_insert_update_delete(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path)
+    tbl.merge(df(spark, [
+        ("a", "k1", 1, 0, "v1", "INSERT"),
+        ("a", "k2", 1, 1, "v1", "INSERT"),
+        ("a", "k3", 1, 2, "v1", "INSERT"),
+    ]), "b1")
+    v1 = tbl.version
+    tbl.merge(df(spark, [
+        ("a", "k2", 2, 0, "v2", "UPDATE"),
+        ("a", "k3", 2, 1, None, "DELETE"),
+        ("a", "k4", 2, 2, "v1", "INSERT"),
+    ]), "b2")
+    got = change_set(tbl, v1)
+    assert got == {
+        ("insert", "a", "k4", 2, "v1"),
+        ("update_preimage", "a", "k2", 1, "v1"),
+        ("update_postimage", "a", "k2", 2, "v2"),
+        ("delete", "a", "k3", 1, "v1"),
+    }
+    # k1 unchanged -> no phantom row even though its bucket may be rewritten
+    assert not any(r[2] == "k1" for r in got)
+    meta = tbl.changes(v1).select("_from_version", "_to_version").first()
+    assert (meta["_from_version"], meta["_to_version"]) == (v1, tbl.version)
+
+
+def test_changes_scans_only_changed_buckets(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path, n_buckets=8)
+    rows = [("r", f"p{i}", 1, i, f"v{i}", "INSERT") for i in range(64)]
+    tbl.merge(df(spark, rows), "b1")
+    v1 = tbl.version
+    tbl.merge(df(spark, [("r", "p7", 2, 0, "fixed", "UPDATE")]), "b2")
+    changed = tbl.changed_buckets(v1)
+    assert len(changed) == 1  # manifest diff: one touched bucket
+    assert change_set(tbl, v1) == {
+        ("update_preimage", "r", "p7", 1, "v7"),
+        ("update_postimage", "r", "p7", 2, "fixed"),
+    }
+
+
+def test_changes_across_mor_and_compaction(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path)
+    tbl.merge_mor(df(spark, [("a", "x", 1, 0, "v1", "INSERT")]), "b1")
+    v1 = tbl.version
+    tbl.merge_mor(df(spark, [("a", "x", 2, 0, "v2", "UPDATE"),
+                             ("a", "y", 2, 1, "v1", "INSERT")]), "b2")
+    assert change_set(tbl, v1) == {
+        ("update_preimage", "a", "x", 1, "v1"),
+        ("update_postimage", "a", "x", 2, "v2"),
+        ("insert", "a", "y", 2, "v1"),
+    }
+    v2 = tbl.version
+    tbl.compact("c1")
+    # compaction rewrites files but changes no winners -> empty changelog
+    assert tbl.changes(v2).count() == 0
+
+
+def test_changes_net_insert_then_delete_is_empty(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path)
+    tbl.merge(df(spark, [("a", "x", 1, 0, "v1", "INSERT")]), "b1")
+    v1 = tbl.version
+    tbl.merge(df(spark, [("a", "t", 2, 0, "tmp", "INSERT")]), "b2")
+    tbl.merge(df(spark, [("a", "t", 3, 0, None, "DELETE")]), "b3")
+    # key created and deleted inside the interval: net effect is nothing
+    assert change_set(tbl, v1) == set()
+
+
+def test_changes_identical_versions_empty(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path)
+    tbl.merge(df(spark, [("a", "x", 1, 0, "v1", "INSERT")]), "b1")
+    v = tbl.version
+    assert tbl.changes(v, v).count() == 0
+
+
+# ---------------------------------------------------- expire + vacuum (GC)
+
+def test_expire_and_vacuum_reclaim_old_versions(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path, n_buckets=2)
+    for i in range(5):
+        tbl.merge(df(spark, [("a", "x", i + 1, 0, f"v{i + 1}", "UPDATE")]), f"b{i}")
+    before = {(r["repo"], r["path"], r["commit_seq"]) for r in tbl.read().collect()}
+    expired = tbl.expire_snapshots(keep_last=2)
+    assert expired and max(expired) == tbl.version - 2
+    with pytest.raises(FileNotFoundError):
+        tbl.snapshot_at(expired[-1])  # time travel past retention raises
+    stats = tbl.vacuum()
+    assert stats["removed_dirs"] > 0 and stats["freed_bytes"] > 0
+    # current state and in-retention time travel are untouched
+    after = {(r["repo"], r["path"], r["commit_seq"]) for r in tbl.read().collect()}
+    assert after == before
+    assert tbl.read(version=tbl.version - 1).count() == 1
+    # every remaining data dir is referenced by some retained snapshot
+    assert tbl.vacuum() == {"removed_dirs": 0, "freed_bytes": 0}
+
+
+def test_vacuum_removes_aborted_commit_orphans(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path, n_buckets=8)
+    rows = [("r", f"p{i}", 1, i, f"v{i}", "INSERT") for i in range(32)]
+    src = df(spark, rows)
+    tbl.merge(src, "b1")
+    bucketed = src.withColumn("_b", tbl.bucket_expr())
+    buckets = sorted({r["_b"] for r in bucketed.select("_b").distinct().collect()})
+    with pytest.raises(RuntimeError, match="superset"):
+        tbl.merge(df(spark, [("r", f"p{i}", 2, i, "x", "UPDATE") for i in range(32)]),
+                  "bad", touched_buckets=buckets[:-1])
+    # the failed merge left orphan v{N} files whose pointer never flipped
+    data_dirs = set(os.listdir(os.path.join(tbl.root, "data")))
+    referenced = {r["path"].split(os.sep)[1] for r in tbl.snapshot()["refs"]}
+    assert data_dirs - referenced  # orphans exist...
+    stats = tbl.vacuum()
+    assert stats["removed_dirs"] > 0  # ...and vacuum reclaims them
+    assert {r["commit_seq"] for r in tbl.read().collect()} == {1}
+
+
+# ------------------------------------------------- manifest bounds skipping
+
+def test_refs_carry_footer_bounds(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path, n_buckets=2)
+    tbl.merge(df(spark, [("a", "x", 5, 0, "v", "INSERT"),
+                         ("a", "y", 9, 1, "v", "INSERT")]), "b1")
+    for r in tbl.snapshot()["refs"]:
+        assert "bounds" in r and "commit_seq" in r["bounds"]
+        mn, mx = r["bounds"]["commit_seq"]
+        assert 5 <= mn <= mx <= 9
+
+
+def test_read_where_skips_disjoint_files(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path, n_buckets=4)
+    # make commit_seq correlate with the bucket so per-ref bounds separate
+    repos = [f"org{i}" for i in range(16)]
+    probe = spark.createDataFrame([(r, "p") for r in repos], ["repo", "path"])
+    bmap = {r["repo"]: r["_b"] for r in
+            probe.withColumn("_b", tbl.bucket_expr()).collect()}
+    rows = [(r, "p", bmap[r] * 100 + i, i, f"c{i}", "INSERT")
+            for i, r in enumerate(repos)]
+    tbl.merge(df(spark, rows), "b1")
+    kept, total = tbl.prune_refs(tbl.snapshot(), "commit_seq", lo=0, hi=99)
+    assert total == len({b for b in bmap.values()})
+    assert len(kept) == 1  # only bucket 0's file can hold seq <= 99
+    got = tbl.read_where("commit_seq", lo=0, hi=99).collect()
+    want = [r for r in rows if 0 <= r[2] <= 99]
+    assert {(r["repo"], r["commit_seq"]) for r in got} == {(r[0], r[2]) for r in want}
+
+
+def test_read_where_never_prunes_delta_buckets(spark, tmpdir_path):
+    """MOR safety: pruning a delta file could resurrect a stale LWW loser,
+    so buckets holding deltas are read in full (residual filter still
+    applies)."""
+    tbl = make_table(spark, tmpdir_path, n_buckets=1)
+    tbl.merge_mor(df(spark, [("a", "x", 10, 0, "old", "INSERT")]), "b1")
+    tbl.merge_mor(df(spark, [("a", "x", 500, 0, "new", "UPDATE")]), "b2")
+    kept, total = tbl.prune_refs(tbl.snapshot(), "commit_seq", lo=0, hi=50)
+    assert len(kept) == total == 2  # nothing pruned despite disjoint bounds
+    # winner (seq=500) is outside the range -> key excluded entirely,
+    # and the stale seq=10 row must NOT leak through
+    assert tbl.read_where("commit_seq", lo=0, hi=50).count() == 0
