@@ -628,6 +628,25 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: LSH candidate pairs -> connected components
+    (alternating large-star/small-star, O(log n) rounds) -> canonical
+    cluster label (= min doc_id) per clustered doc. The step that turns
+    near-dup PAIRS into KEEP/DROP decisions; oracle replays the closure
+    with a recursive CTE."""
+    from ore_etl_spark.functions.dedup import (
+        connected_components, minhash_lsh_candidates,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(d, n_hashes=8, band_size=2).select(
+        "id_a", "id_b"
+    ).distinct()
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint per document + docs sharing a signature."""
     from ore_etl_spark.functions.dedup import simhash16
@@ -846,6 +865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_features": q_text_features,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_components": q_dedup_components,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_radius": q_dedup_simhash_radius,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1101,6 +1121,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             WITH {lsh_ctes}
             SELECT id_a, id_b, count(*) AS n_bands FROM cand GROUP BY 1, 2
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE {lsh_ctes},
+            pairs AS (SELECT DISTINCT id_a, id_b FROM cand),
+            e AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+            )
+            SELECT u AS doc_id, least(u, min(v)) AS component
+            FROM reach GROUP BY u
         """,
         "dedup_simhash": f"""
             WITH {simhash_ctes}

@@ -236,6 +236,91 @@ def simhash_radius_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a pair list via alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — public algorithm): converges in
+    O(log n) rounds instead of O(diameter), so a 100 TB-scale dup graph
+    with long chains still finishes in a handful of shuffles. This is the
+    step that turns near-dup PAIRS (LSH output) into dedup CLUSTERS with a
+    canonical keeper per cluster.
+
+    large-star: every neighbor v > u re-points to min(Γ⁺(u));
+    small-star: every neighbor v <= u (and u itself) points to min(Γ⁺(u)).
+    Fixpoint = a forest of depth-1 stars rooted at each component minimum.
+
+    Each round is two groupBy-min + two equi-joins; ``localCheckpoint``
+    truncates the plan per round (iterative lineage would otherwise grow
+    unboundedly). Convergence is detected from a cheap (count, hash-sum)
+    aggregate of the edge set.
+
+    Returns (node, component) for every node appearing in ``edges``,
+    component = min node id of the component.
+    """
+    e = (
+        edges.select(F.col(id_a).cast("long").alias("u"),
+                     F.col(id_b).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least(F.col("mn"), F.col("u")).alias("m")))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        d = ed.select(F.greatest("u", "v").alias("u"),
+                      F.least("u", "v").alias("v")).distinct()
+        m = d.groupBy("u").agg(F.min("v").alias("m"))
+        j = d.join(m, "u")
+        out = j.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+            m.select(F.col("u"), F.col("m").alias("v"))
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    def fingerprint(ed: DataFrame):
+        # bit_xor is order-independent and cannot overflow (ANSI-safe)
+        row = ed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = None
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        fp = fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
+
+    nodes = (
+        edges.select(F.col(id_a).cast("long").alias("node"))
+        .union(edges.select(F.col(id_b).cast("long").alias("node")))
+        .distinct()
+    )
+    # min-agg guards the (max_iter hit before fixpoint) edge case: a node
+    # with several outgoing edges must not fan out duplicate labels
+    lab = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
+    return (
+        nodes.join(lab, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )
+
+
 def ngram_jaccard(a: Column, b: Column, k: int = 3) -> Column:
     """Exact Jaccard similarity of word k-shingle sets (verification step)."""
     sa, sb = shingles(a, k), shingles(b, k)

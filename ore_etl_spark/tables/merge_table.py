@@ -670,15 +670,25 @@ class MergeTable:
     def _make_refs(self, snap: dict, written: dict, delta: bool = False) -> list[dict]:
         sid = snap["current_schema_id"]
         cols = snap.get("stats_cols") or []
+        items = sorted(written.items())
+        all_bounds: dict[int, dict] = {}
+        if cols and items:
+            # footer reads are independent metadata I/O — harvest in
+            # parallel so commit latency stays flat as bucket count grows
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(items))) as ex:
+                for (b, _), bounds in zip(
+                    items, ex.map(lambda it: self._ref_bounds(it[1], cols), items)
+                ):
+                    all_bounds[b] = bounds
         refs = []
-        for b, rel in written.items():
+        for b, rel in items:
             r: dict = {"path": rel, "bucket": b, "schema_id": sid}
             if delta:
                 r["delta"] = True
-            if cols:
-                bounds = self._ref_bounds(rel, cols)
-                if bounds:
-                    r["bounds"] = bounds
+            if all_bounds.get(b):
+                r["bounds"] = all_bounds[b]
             refs.append(r)
         return refs
 

@@ -242,3 +242,57 @@ def test_simhash_radius_is_banded_not_all_pairs(spark):
 
     with pytest.raises(ValueError):
         simhash_radius_pairs(df, radius=4, n_bands=4)  # pigeonhole violated
+
+
+# ---------------------------------------------------------------- components
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Large-star/small-star CC vs a driver union-find on a mixed fixture:
+    a long chain (log-round convergence), a clique, a star, an isolated
+    pair, and two chains merged by a bridge edge."""
+    from ore_etl_spark.functions.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(40)]            # chain 0..40
+        + [(100, 101), (100, 102), (101, 102)]     # clique
+        + [(200, 201), (200, 202), (200, 203)]     # star
+        + [(300, 301)]                             # pair
+        + [(400 + i, 401 + i) for i in range(5)]
+        + [(500 + i, 501 + i) for i in range(5)]
+        + [(405, 500)]                             # bridge merges two chains
+    )
+    want = _union_find(edges)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == want
+    # chain collapsed to its minimum in well under max_iter rounds
+    assert got[40] == 0 and got[505] == 400
+
+
+def test_connected_components_edge_order_invariant(spark):
+    from ore_etl_spark.functions.dedup import connected_components
+
+    edges = [(5, 3), (1, 9), (9, 5), (7, 7), (2, 8)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    # (7,7) self-loop dropped but 7 still absent (no real edge); others:
+    assert got == {5: 1, 3: 1, 1: 1, 9: 1, 2: 2, 8: 2, 7: 7}
