@@ -647,6 +647,41 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_chunk_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked-fingerprint partial-match blocking: docs sharing any
+    (chunk_idx, chunk_md5) are edit-locality candidates. Fixed 64-char
+    chunks are prefix-stable, so a doc and its tail-edited variant still
+    collide on every untouched chunk. The corpus here is documents plus a
+    deterministic tail-edited copy of each doc (doc_id + 10^6) — each
+    original must pair with its variant on all its full chunks. Equi-join
+    on the chunk key: the no-all-pairs LSH-banding shape."""
+    from ore_etl_spark.functions.text import chunk_fingerprints
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    variant = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" edited tail marker")).alias("text"),
+    )
+    corpus = d.unionByName(variant)
+    ch = corpus.select(
+        "doc_id",
+        F.posexplode(chunk_fingerprints(F.col("text"))).alias("idx", "h"),
+    )
+    a, b = ch.alias("a"), ch.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint per document + docs sharing a signature."""
     from ore_etl_spark.functions.dedup import simhash16
@@ -866,6 +901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_components": q_dedup_components,
+    "dedup_chunk_fingerprint": q_dedup_chunk_fingerprint,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_radius": q_dedup_simhash_radius,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1121,6 +1157,27 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             WITH {lsh_ctes}
             SELECT id_a, id_b, count(*) AS n_bands FROM cand GROUP BY 1, 2
+        """,
+        "dedup_chunk_fingerprint": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text || ' edited tail marker'
+              FROM documents),
+            n AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '\\s+', ' ', 'g') AS s
+              FROM corpus),
+            c AS (
+              SELECT doc_id, i.i AS idx,
+                     md5(substr(s, (i.i * 64 + 1)::INT, 64)) AS h
+              FROM n, LATERAL unnest(generate_series(0,
+                     least(ceil(length(s) / 64.0), 64)::INT - 1)) AS i(i)
+              WHERE length(s) > 0)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM c a JOIN c b
+              ON a.idx = b.idx AND a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
         "dedup_components": f"""
             WITH RECURSIVE {lsh_ctes},

@@ -111,7 +111,7 @@ def warmup_apply(spark, work_dir: str) -> None:
     pipe.run(batch_span=None)
 
 
-TRIALS = int(os.environ.get("BENCH_TRIALS", "2"))
+TRIALS = int(os.environ.get("BENCH_TRIALS", "3"))
 
 
 def run_apply(spark, wal_dir: str, work_dir: str, n_events: int,

@@ -77,12 +77,34 @@ def lang_id(col: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def fingerprint(col: Column, n_chunks: int = 4) -> Column:
-    """Deterministic document fingerprint: md5 of normalized text, plus a
-    rolling-chunk variant (md5 of each quarter, xor-folded via substr) used
-    for near-dup blocking."""
+def fingerprint(col: Column) -> Column:
+    """Deterministic whole-document fingerprint: md5 of normalized text."""
     norm = F.regexp_replace(F.lower(col), r"\s+", " ")
     return F.md5(norm)
+
+
+def chunk_fingerprints(col: Column, chunk_chars: int = 64,
+                       max_chunks: int = 64) -> Column:
+    """Fixed-width chunk fingerprints for partial-match blocking: the
+    normalized text is cut into ``chunk_chars``-character chunks, each
+    md5'd; (chunk_idx, chunk_hash) is the blocking key. Fixed (not
+    length-relative) boundaries are PREFIX-STABLE: appending or editing
+    near the end leaves every earlier chunk's hash intact, so a doc and
+    its edited variant still collide on all untouched chunks — the
+    blocking join stays an equi-join, the same no-all-pairs shape as
+    minhash LSH. ``max_chunks`` bounds the array (and join fan-out) for
+    pathological documents; boundaries are pure integer arithmetic so the
+    DuckDB oracle reproduces the chunking byte-for-byte."""
+    norm = F.regexp_replace(F.lower(col), r"\s+", " ")
+    ln = F.length(norm)
+    n = F.least(F.ceil(ln / F.lit(chunk_chars)), F.lit(max_chunks)).cast("int")
+    idx = F.sequence(F.lit(0), n - 1)
+    fps = F.transform(
+        idx,
+        lambda i: F.md5(norm.substr((i * chunk_chars + 1).cast("int"),
+                                    F.lit(chunk_chars))),
+    )
+    return F.when(ln > 0, fps).otherwise(F.array().cast("array<string>"))
 
 
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:

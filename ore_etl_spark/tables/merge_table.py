@@ -490,6 +490,42 @@ class MergeTable:
         self._append_lineage(self._lineage_rows(batch_id, new_ver, m))
         return m
 
+    def rebucket(self, n_buckets: int, batch_id: str) -> MergeMetrics:
+        """Bucket-spec evolution (Iceberg partition-spec-evolution analog):
+        rewrite the table at a new bucket count in one resolved pass.
+
+        A bucket count chosen at day one is wrong at 10^10 keys: too few
+        buckets -> giant files and coarse MERGE pruning; too many -> small
+        files. Because the bucket id is derived (hash(key) % n), changing n
+        only requires one LWW-resolved rewrite — the snapshot carries the
+        new count, every later merge/read derives buckets from it, and
+        time travel to pre-rebucket versions still resolves through those
+        snapshots' own n_buckets. Idempotent by batch_id."""
+        snap = self.snapshot()
+        if self.is_committed(batch_id, snap):
+            return MergeMetrics(batch_id=batch_id, version=snap["version"],
+                                skipped_already_committed=True)
+        resolved = self.read(with_deleted=True)
+        from ..operators.lww import dedupe_lww
+
+        if self.has_deltas(snap):
+            resolved = dedupe_lww(resolved, snap["key_cols"], snap["version_cols"])
+        snap = {**snap, "n_buckets": int(n_buckets)}
+        resolved = resolved.withColumn(_BUCKET_COL, self.bucket_expr(snap))
+        new_ver = snap["version"] + 1
+        rel_dir = os.path.join("data", f"v{new_ver}")
+        out_dir = os.path.join(self.root, rel_dir)
+        (resolved.repartition(min(int(n_buckets), 256), F.col(_BUCKET_COL))
+                 .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir))
+        written = self._list_written(out_dir, rel_dir)
+        old_buckets = {r["bucket"] for r in self.snapshot()["refs"]}
+        new_snap = self._advance(snap, batch_id, written, old_buckets)
+        self._write_snapshot(new_snap)
+        m = MergeMetrics(batch_id=batch_id, version=new_ver,
+                         n_buckets_touched=len(written))
+        self._append_lineage(self._lineage_rows(batch_id, new_ver, m))
+        return m
+
     def merge(
         self,
         source: DataFrame,

@@ -205,3 +205,25 @@ def test_read_where_never_prunes_delta_buckets(spark, tmpdir_path):
     # winner (seq=500) is outside the range -> key excluded entirely,
     # and the stale seq=10 row must NOT leak through
     assert tbl.read_where("commit_seq", lo=0, hi=50).count() == 0
+
+
+def test_changes_across_schema_evolution(spark, tmpdir_path):
+    """An interval that widens the schema: preimages of rows written
+    before the new column existed carry NULL for it; postimages carry the
+    new value. The changelog schema is always the TO-side schema."""
+    import pyspark.sql.types as T
+
+    tbl = make_table(spark, tmpdir_path)
+    tbl.merge(df(spark, [("a", "x", 1, 0, "v1", "INSERT")]), "b1")
+    v1 = tbl.version
+    evolved = T.StructType(SCHEMA.fields + [
+        T.StructField("stars", T.LongType()),
+        T.StructField("op", T.StringType()),
+    ])
+    tbl.merge(spark.createDataFrame(
+        [("a", "x", 2, 0, "v2", 7, "UPDATE")], evolved), "b2")
+    rows = {r["_change_type"]: r for r in tbl.changes(v1).collect()}
+    assert set(rows) == {"update_preimage", "update_postimage"}
+    assert rows["update_preimage"]["stars"] is None   # pre-evolution row
+    assert rows["update_postimage"]["stars"] == 7
+    assert rows["update_postimage"]["content"] == "v2"

@@ -166,3 +166,40 @@ def test_merge_raises_on_non_superset_touched_buckets(spark, tmpdir_path):
     assert not tbl.is_committed("bad")
     m = tbl.merge(src, "good", touched_buckets=buckets)  # honest superset OK
     assert m.n_inserted == 32
+
+
+def test_rebucket_preserves_state_and_future_merges(spark, tmpdir_path):
+    """Bucket-spec evolution: same rows at a new bucket count, later
+    merges derive buckets from the new spec, and time travel through the
+    old snapshot still resolves with the OLD bucket count."""
+    tbl = make_table(spark, tmpdir_path, n_buckets=2)
+    rows = [("r", f"p{i}", 1, i, f"v{i}", "INSERT") for i in range(32)]
+    tbl.merge(df(spark, rows), "b1")
+    v_before = tbl.version
+    before = state(tbl)
+
+    m = tbl.rebucket(8, "rb1")
+    assert m.n_buckets_touched > 2  # data actually spread wider
+    assert tbl.snapshot()["n_buckets"] == 8
+    assert state(tbl) == before
+    assert {r["bucket"] for r in tbl.snapshot()["refs"]} <= set(range(8))
+    # time travel to the pre-rebucket snapshot still reads correctly
+    assert tbl.read(version=v_before).count() == 32
+    # replay is a no-op
+    assert tbl.rebucket(8, "rb1").skipped_already_committed
+
+    # a merge after rebucketing prunes against the NEW spec
+    m2 = tbl.merge(df(spark, [("r", "p3", 2, 0, "fixed", "UPDATE")]), "b2")
+    assert m2.n_updated == 1 and m2.n_buckets_touched == 1
+    s = state(tbl)
+    assert s[("r", "p3")] == (2, "fixed") and s[("r", "p4")] == (1, "v4")
+
+
+def test_rebucket_resolves_mor_deltas(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path, n_buckets=2)
+    tbl.merge_mor(df(spark, [("a", "x", 1, 0, "old", "INSERT")]), "b1")
+    tbl.merge_mor(df(spark, [("a", "x", 2, 0, "new", "UPDATE"),
+                             ("a", "y", 2, 1, "v1", "INSERT")]), "b2")
+    tbl.rebucket(16, "rb1")
+    assert not tbl.has_deltas()  # rewrite folded the delta chain
+    assert state(tbl) == {("a", "x"): (2, "new"), ("a", "y"): (2, "v1")}
