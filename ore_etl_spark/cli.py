@@ -101,6 +101,41 @@ def cmd_compact(args):
                       "n_buckets": m.n_buckets_touched}))
 
 
+def cmd_vacuum(args):
+    spark = _spark(args)
+    tbl = _table(spark, args, create=False)
+    expired = tbl.expire_snapshots(keep_last=args.keep_last)
+    stats = tbl.vacuum()
+    print(json.dumps({"expired_versions": expired, **stats}))
+
+
+def cmd_changes(args):
+    spark = _spark(args)
+    tbl = _table(spark, args, create=False)
+    df = tbl.changes(args.from_version, args.to_version)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"written": args.out,
+                          "n_changes": spark.read.parquet(args.out).count()}))
+    else:
+        from pyspark.sql import functions as F
+
+        by_type = {r["_change_type"]: r["n"] for r in
+                   df.groupBy("_change_type").agg(F.count("*").alias("n"))
+                     .collect()}
+        print(json.dumps({"n_changes": sum(by_type.values()),
+                          "by_type": by_type}))
+
+
+def cmd_rebucket(args):
+    import uuid
+
+    spark = _spark(args)
+    tbl = _table(spark, args, create=False)
+    m = tbl.rebucket(args.n_buckets, f"cli-rebucket-{uuid.uuid4().hex[:8]}")
+    print(json.dumps({"version": m.version, "n_buckets": args.n_buckets}))
+
+
 def cmd_package(args):
     """Zip the package for spark-submit --py-files."""
     pkg_root = os.path.dirname(os.path.abspath(__file__))
@@ -151,6 +186,27 @@ def main(argv=None):
     c.add_argument("--expire", action="store_true",
                    help="drop tombstones (only after the out-of-order horizon)")
     c.set_defaults(fn=cmd_compact)
+
+    v = sub.add_parser("vacuum")
+    v.add_argument("--table", required=True)
+    v.add_argument("--buckets", type=int, default=64)
+    v.add_argument("--keep-last", type=int, default=10)
+    v.set_defaults(fn=cmd_vacuum)
+
+    ch = sub.add_parser("changes")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--buckets", type=int, default=64)
+    ch.add_argument("--from-version", type=int, required=True)
+    ch.add_argument("--to-version", type=int, default=None)
+    ch.add_argument("--out", default=None,
+                    help="write the changelog as parquet instead of counting")
+    ch.set_defaults(fn=cmd_changes)
+
+    rb = sub.add_parser("rebucket")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--buckets", type=int, default=64)
+    rb.add_argument("--n-buckets", type=int, required=True)
+    rb.set_defaults(fn=cmd_rebucket)
 
     pk = sub.add_parser("package")
     pk.add_argument("--out", default="/tmp/ore_etl_spark.zip")
