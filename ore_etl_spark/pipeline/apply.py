@@ -71,13 +71,17 @@ class CdcApplyPipeline:
         collect_metrics: bool = True,
         mode: str = "cow",
         compact_every: int | None = None,
+        compact_depth: int | None = None,
         mor_fast_path: bool = False,
     ):
         """``mode``: 'cow' (copy-on-write conditional MERGE — read-optimized)
         or 'mor' (merge-on-read delta append — write-optimized; bytes
         written per batch are O(batch) not O(table); readers resolve LWW).
         ``compact_every``: in MOR mode, fold deltas into the base every N
-        batches (amortized read cost)."""
+        batches (amortized read cost). ``compact_depth``: compact when any
+        bucket's unresolved delta-ref count exceeds this — bounds read
+        amplification by what readers actually pay rather than a blind
+        batch counter (a metadata-only check per batch, no Spark job)."""
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown mode {mode!r}")
         self.spark = spark
@@ -88,6 +92,7 @@ class CdcApplyPipeline:
         self.collect_metrics = collect_metrics
         self.mode = mode
         self.compact_every = compact_every
+        self.compact_depth = compact_depth
         self.mor_fast_path = mor_fast_path  # shuffle-free delta append
         self._batches_since_compact = 0
         self.checkpoints = CheckpointStore(f"{state_dir}/checkpoints.json")
@@ -189,8 +194,11 @@ class CdcApplyPipeline:
                 bucket_shuffle=not self.mor_fast_path,
             )
             self._batches_since_compact += 1
-            if (self.compact_every
-                    and self._batches_since_compact >= self.compact_every):
+            due = (self.compact_every
+                   and self._batches_since_compact >= self.compact_every)
+            deep = (self.compact_depth
+                    and self.table.delta_depth() > self.compact_depth)
+            if due or deep:
                 self.table.compact(f"compact:{batch_id}")
                 self._batches_since_compact = 0
         else:

@@ -321,6 +321,90 @@ class MergeTable:
             df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
+    def lookup(self, key_values: list[tuple], with_deleted: bool = False) -> DataFrame:
+        """Bucket-pruned point read: hash each key to its bucket on the
+        driver (same xxhash64 the writer used, evaluated via a 1-row Spark
+        expression batch), scan ONLY those buckets' refs, and filter to the
+        exact keys. A serving-style key lookup touches O(keys) buckets out
+        of thousands — never the table."""
+        snap = self.snapshot()
+        key_cols = snap["key_cols"]
+        probe = self.spark.createDataFrame(
+            key_values, T.StructType([f for f in self.schema(snap).fields
+                                      if f.name in key_cols])
+        )
+        buckets = sorted({
+            r["_b"] for r in
+            probe.withColumn("_b", self.bucket_expr(snap)).collect()
+        })
+        df = self.read_buckets(buckets, with_deleted=with_deleted)
+        cond = None
+        for kv in key_values:
+            one = None
+            for c, v in zip(key_cols, kv):
+                e = F.col(c) == F.lit(v)
+                one = e if one is None else (one & e)
+            cond = one if cond is None else (cond | one)
+        return df.filter(cond)
+
+    def file_stats(self) -> dict:
+        """Table shape from manifest + parquet footers only — no Spark job.
+
+        Per-ref row counts and byte sizes, delta depth per bucket, and the
+        small-file signal an auto-compaction policy needs. O(files) driver
+        metadata reads (the same footers the bounds harvest touches)."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return {}
+        snap = self.snapshot()
+        per_bucket: dict[int, dict] = {}
+        total_rows = 0
+        total_bytes = 0
+        n_files = 0
+        for r in snap["refs"]:
+            b = per_bucket.setdefault(
+                r["bucket"], {"refs": 0, "delta_refs": 0, "rows": 0, "bytes": 0}
+            )
+            b["refs"] += 1
+            if r.get("delta"):
+                b["delta_refs"] += 1
+            full = os.path.join(self.root, r["path"])
+            for fname in os.listdir(full):
+                if not fname.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(full, fname)
+                md = pq.ParquetFile(fpath).metadata
+                n_files += 1
+                b["rows"] += md.num_rows
+                sz = os.path.getsize(fpath)
+                b["bytes"] += sz
+                total_rows += md.num_rows
+                total_bytes += sz
+        return {
+            "version": snap["version"],
+            "n_buckets": snap["n_buckets"],
+            "n_refs": len(snap["refs"]),
+            "n_files": n_files,
+            "total_rows": total_rows,       # physical rows incl. tombstones
+            "total_bytes": total_bytes,     # and unresolved MOR duplicates
+            "max_delta_depth": max(
+                (b["delta_refs"] for b in per_bucket.values()), default=0
+            ),
+            "per_bucket": per_bucket,
+        }
+
+    def delta_depth(self) -> int:
+        """Max unresolved delta refs on any bucket — the read-amplification
+        bound a MOR reader pays. Compaction policy: fold when this exceeds
+        a threshold (see CdcApplyPipeline compact_depth)."""
+        snap = self.snapshot()
+        depth: dict[int, int] = {}
+        for r in snap["refs"]:
+            if r.get("delta"):
+                depth[r["bucket"]] = depth.get(r["bucket"], 0) + 1
+        return max(depth.values(), default=0)
+
     def bucket_expr(self, snap: dict | None = None):
         snap = snap or self.snapshot()
         return F.pmod(

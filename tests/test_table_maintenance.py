@@ -203,3 +203,52 @@ def test_rebucket_resolves_mor_deltas(spark, tmpdir_path):
     tbl.rebucket(16, "rb1")
     assert not tbl.has_deltas()  # rewrite folded the delta chain
     assert state(tbl) == {("a", "x"): (2, "new"), ("a", "y"): (2, "v1")}
+
+
+def test_lookup_is_bucket_pruned_point_read(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path, n_buckets=8)
+    rows = [("r", f"p{i}", 1, i, f"v{i}", "INSERT") for i in range(64)]
+    tbl.merge(df(spark, rows), "b1")
+    out = tbl.lookup([("r", "p7"), ("r", "p9")])
+    got = {(r["repo"], r["path"], r["content"]) for r in out.collect()}
+    assert got == {("r", "p7", "v7"), ("r", "p9", "v9")}
+    # the scan behind the lookup touches only the probed keys' buckets
+    touched = {f.split("_bucket=")[1].split("/")[0] for f in out.inputFiles()}
+    all_buckets = {str(r["bucket"]) for r in tbl.snapshot()["refs"]}
+    assert len(touched) <= 2 < len(all_buckets)
+
+
+def test_file_stats_and_delta_depth(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path, n_buckets=2)
+    for i in range(3):
+        tbl.merge_mor(df(spark, [("a", "x", i + 1, 0, f"v{i + 1}", "UPDATE")]),
+                      f"b{i}")
+    assert tbl.delta_depth() == 3
+    st = tbl.file_stats()
+    assert st["total_rows"] == 3          # physical rows, unresolved
+    assert st["max_delta_depth"] == 3 and st["n_files"] >= 3
+    tbl.compact("c1")
+    assert tbl.delta_depth() == 0
+    st2 = tbl.file_stats()
+    assert st2["total_rows"] == 1 and st2["max_delta_depth"] == 0
+
+
+def test_compact_depth_policy_bounds_read_amplification(spark, tmpdir_path):
+    """MOR pipeline with compact_depth: after a many-batch replay no bucket
+    carries more unresolved deltas than the bound."""
+    from ore_etl_spark.datagen.wal import generate_wal
+    from ore_etl_spark.pipeline.apply import CdcApplyPipeline, target_schema
+
+    wal = f"{tmpdir_path}/events"
+    generate_wal(spark, n_keys=300, n_partitions=4).write.parquet(wal)
+    tbl = MergeTable.create(
+        spark, f"{tmpdir_path}/target", target_schema(),
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=8,
+    )
+    p = CdcApplyPipeline(spark, wal, tbl, f"{tmpdir_path}/state",
+                         collect_metrics=False, mode="mor",
+                         mor_fast_path=True, compact_depth=2)
+    lo, hi = p.delivery_range()
+    p.run(batch_span=max(1, (hi - lo) // 6))
+    assert tbl.delta_depth() <= 2
