@@ -83,3 +83,44 @@ def test_mor_fastpath_apply_has_no_exchange(spark, wal_path, tmpdir_path):
     df = decode_events(spark.read.parquet(wal_path)) \
         .filter(F.col("is_valid")).select(*cols)
     assert "Exchange" not in plan_of(df)
+
+
+def test_sessionize_single_exchange(spark):
+    """Both windows (lag, running sum) and the session aggregate group on
+    user_id — the plan must hash-exchange once, then stay partition-local."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_win_sessionize(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_changelog_scans_only_changed_bucket_files(spark, tmp_path_factory):
+    """changes() must read only the manifest-diff buckets: the files behind
+    the changelog scan exclude untouched buckets entirely."""
+    import pyspark.sql.types as T
+
+    from ore_etl_spark.tables.merge_table import MergeTable
+
+    root = str(tmp_path_factory.mktemp("cdf") / "tbl")
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit_seq", T.LongType()),
+        T.StructField("event_seq", T.LongType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("op", T.StringType()),
+    ])
+    tbl = MergeTable.create(
+        spark, root, T.StructType(schema.fields[:-1]),
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=8,
+    )
+    rows = [("r", f"p{i}", 1, i, f"v{i}", "INSERT") for i in range(64)]
+    tbl.merge(spark.createDataFrame(rows, schema), "b1")
+    v1 = tbl.version
+    tbl.merge(spark.createDataFrame([("r", "p7", 2, 0, "x", "UPDATE")], schema), "b2")
+    files = tbl.changes(v1).inputFiles()
+    buckets = {f.split("_bucket=")[1].split("/")[0] for f in files}
+    assert len(buckets) == 1  # only the touched bucket's files are read
