@@ -682,6 +682,50 @@ def q_dedup_chunk_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Pile-style): flag corpus docs that
+    share any word 8-gram with a benchmark set. Benchmark = docs with
+    doc_id % 31 == 0; corpus docs with doc_id % 10 == 3 are deterministically
+    contaminated by appending the first 8 tokens of benchmark doc
+    (doc_id % 17) * 31 — the query must flag exactly those (plus any organic
+    collisions). The benchmark n-gram side is small -> broadcast equi-join
+    on the gram, never an all-pairs scan."""
+    from ore_etl_spark.functions.dedup import norm_text, shingles
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 31 == 0)
+    snippet = F.concat_ws(
+        " ", F.slice(F.filter(F.split(norm_text(F.col("text")), " "),
+                              lambda t: t != ""), 1, 8)
+    )
+    bsnip = bench.select((F.col("doc_id") / 31).cast("long").alias("bk"),
+                         snippet.alias("snip"))
+    corpus = (
+        d.withColumn("bk", (F.col("doc_id") % 17).cast("long"))
+        .join(F.broadcast(bsnip), "bk", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 10 == 3) & F.col("snip").isNotNull(),
+                F.concat(F.col("text"), F.lit(" "), F.col("snip")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    grams = lambda df, idc: df.select(  # noqa: E731
+        F.col("doc_id").alias(idc),
+        F.explode(shingles(F.col("text"), 8)).alias("g"),
+    ).distinct()
+    bg = grams(bench, "bench_id")
+    cg = grams(corpus, "doc_id")
+    hits = cg.join(F.broadcast(bg), "g").filter(
+        F.col("doc_id") != F.col("bench_id")
+    )
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("bench_id").alias("n_bench_sources"),
+        F.count("*").alias("n_shared_grams"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint per document + docs sharing a signature."""
     from ore_etl_spark.functions.dedup import simhash16
@@ -902,6 +946,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_components": q_dedup_components,
     "dedup_chunk_fingerprint": q_dedup_chunk_fingerprint,
+    "text_decontaminate": q_text_decontaminate,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_radius": q_dedup_simhash_radius,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1157,6 +1202,48 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             WITH {lsh_ctes}
             SELECT id_a, id_b, count(*) AS n_bands FROM cand GROUP BY 1, 2
+        """,
+        "text_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(
+                       regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                       t -> t <> '') AS tk
+              FROM documents),
+            bsnip AS (
+              SELECT doc_id // 31 AS bk,
+                     array_to_string(tk[1:8], ' ') AS snip
+              FROM toks WHERE doc_id % 31 = 0),
+            corpus AS (
+              SELECT d.doc_id,
+                     CASE WHEN d.doc_id % 10 = 3 AND b.snip IS NOT NULL
+                          THEN d.text || ' ' || b.snip ELSE d.text END AS text
+              FROM documents d LEFT JOIN bsnip b ON b.bk = d.doc_id % 17),
+            ctoks AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                       t -> t <> '') AS tk
+              FROM corpus),
+            cg AS (
+              SELECT DISTINCT doc_id,
+                     concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                               tk[i+4], tk[i+5], tk[i+6], tk[i+7]) AS g
+              FROM ctoks,
+                   LATERAL unnest(generate_series(1,
+                     greatest(len(tk) - 7, 1))) AS s(i)),
+            bg AS (
+              SELECT DISTINCT doc_id AS bench_id,
+                     concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                               tk[i+4], tk[i+5], tk[i+6], tk[i+7]) AS g
+              FROM toks,
+                   LATERAL unnest(generate_series(1,
+                     greatest(len(tk) - 7, 1))) AS s(i)
+              WHERE doc_id % 31 = 0)
+            SELECT c.doc_id, count(DISTINCT b.bench_id) AS n_bench_sources,
+                   count(*) AS n_shared_grams
+            FROM cg c JOIN bg b ON c.g = b.g AND c.doc_id <> b.bench_id
+            GROUP BY c.doc_id
         """,
         "dedup_chunk_fingerprint": """
             WITH corpus AS (
