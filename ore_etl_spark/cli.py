@@ -136,6 +136,21 @@ def cmd_rebucket(args):
     print(json.dumps({"version": m.version, "n_buckets": args.n_buckets}))
 
 
+def cmd_view_refresh(args):
+    from .pipeline.incremental_view import IncrementalAggView
+    from .tables.merge_table import MergeTable
+
+    spark = _spark(args)
+    src = MergeTable.load(spark, args.table)
+    view = IncrementalAggView(
+        spark, src, args.view,
+        group_cols=args.group_cols.split(","),
+        sum_cols=args.sum_cols.split(",") if args.sum_cols else [],
+    )
+    res = view.refresh()
+    print(json.dumps(res))
+
+
 def cmd_package(args):
     """Zip the package for spark-submit --py-files."""
     pkg_root = os.path.dirname(os.path.abspath(__file__))
@@ -207,6 +222,15 @@ def main(argv=None):
     rb.add_argument("--buckets", type=int, default=64)
     rb.add_argument("--n-buckets", type=int, required=True)
     rb.set_defaults(fn=cmd_rebucket)
+
+    vr = sub.add_parser("view-refresh")
+    vr.add_argument("--table", required=True, help="source MergeTable root")
+    vr.add_argument("--view", required=True, help="view root directory")
+    vr.add_argument("--group-cols", required=True,
+                    help="comma-separated group columns")
+    vr.add_argument("--sum-cols", default="",
+                    help="comma-separated numeric columns to maintain sums for")
+    vr.set_defaults(fn=cmd_view_refresh)
 
     pk = sub.add_parser("package")
     pk.add_argument("--out", default="/tmp/ore_etl_spark.zip")

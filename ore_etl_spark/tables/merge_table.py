@@ -967,6 +967,11 @@ class MergeTable:
         """
         snap_a = self.snapshot_at(from_version)
         snap_b = self.snapshot() if to_version is None else self.snapshot_at(to_version)
+        if snap_a["version"] > snap_b["version"]:
+            raise ValueError(
+                f"changes(from={snap_a['version']}, to={snap_b['version']}): "
+                "from_version must not exceed to_version"
+            )
         key_cols = snap_b["key_cols"]
         version_cols = snap_b["version_cols"]
         target = self.schema(snap_b)
