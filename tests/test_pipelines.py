@@ -140,3 +140,55 @@ def test_multimodal_meta_and_decode_stub(spark):
     vids = spark.createDataFrame([(1, 3.0)], "id long, duration_s double")
     plan = sample_frames_plan(vids, every_s=1.0).collect()
     assert [r["frame_ts"] for r in plan] == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_streaming_restart_processes_only_new_files(spark, tmpdir_path, wal):
+    """Exactly-once across stream restarts: run availableNow to completion,
+    land NEW wal files, restart from the same checkpoint — only the new
+    files are read (source offsets), replayed epochs are sink-level no-ops
+    (batch-id manifest), and the table converges to the full oracle."""
+    from ore_etl_spark.datagen.wal import generate_wal
+    from ore_etl_spark.pipeline.continuous import stream_decoded
+
+    tbl = MergeTable.create(
+        spark, f"{tmpdir_path}/rtarget", target_schema(),
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=8,
+    )
+    cols = [f.name for f in target_schema().fields] + ["op"]
+    applied = []
+
+    def apply_fn(batch_df, epoch_id):
+        valid = batch_df.filter(F.col("is_valid")).select(*cols)
+        m = tbl.merge(valid, batch_id=f"restart-epoch-{epoch_id}")
+        applied.append((epoch_id, m.skipped_already_committed))
+
+    schema = spark.read.parquet(wal).schema
+    q = stream_decoded(spark, wal, schema, f"{tmpdir_path}/rckpt", apply_fn)
+    q.awaitTermination(180)
+    n_epochs_first = len(applied)
+    v_after_first = tbl.version
+
+    # land a second WAL slice: same keys, NEWER versions (seq-shifted)
+    extra = (
+        generate_wal(spark, n_keys=120, n_partitions=2)
+        .withColumn("delivery_seq", F.col("delivery_seq") + 10**9)
+        .withColumn("commit_seq", F.col("commit_seq") + 10**9)
+    )
+    extra.write.mode("append").parquet(wal)
+
+    q2 = stream_decoded(spark, wal, schema, f"{tmpdir_path}/rckpt", apply_fn)
+    q2.awaitTermination(180)
+    # restart did not re-apply old epochs' data as new versions
+    assert len(applied) > n_epochs_first
+    assert tbl.version > v_after_first
+    parity(spark, tbl, wal)  # converged over old + new files
+
+    # a replayed epoch is a sink-level no-op (idempotent batch-id)
+    replay_epoch = applied[0][0]
+    before = tbl.version
+    m = tbl.merge(
+        spark.createDataFrame([], tbl.schema()).withColumn("op", F.lit("INSERT")),
+        batch_id=f"restart-epoch-{replay_epoch}",
+    )
+    assert m.skipped_already_committed and tbl.version == before
