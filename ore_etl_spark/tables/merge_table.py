@@ -543,6 +543,12 @@ class MergeTable:
         """Fold delta files into one resolved file set per bucket (MOR ->
         COW base). Idempotent by batch_id.
 
+        Bucket-pruned: only buckets that actually hold delta refs (or,
+        when ``retain_tombstones=False``, any refs at all — tombstone GC
+        must visit every file) are read and rewritten; clean buckets carry
+        their existing refs untouched. A tail of fresh deltas over 1% of
+        buckets compacts 1% of the table, not all of it.
+
         ``retain_tombstones=True`` (default) keeps the winning tombstone
         rows: compaction can then run at ANY point mid-stream — an
         out-of-order event older than a delete still loses LWW against the
@@ -553,7 +559,16 @@ class MergeTable:
         if self.is_committed(batch_id, snap):
             return MergeMetrics(batch_id=batch_id, version=snap["version"],
                                 skipped_already_committed=True)
-        resolved = self.read(with_deleted=True)
+        if retain_tombstones:
+            dirty = {r["bucket"] for r in snap["refs"] if r.get("delta")}
+        else:
+            dirty = {r["bucket"] for r in snap["refs"]}
+        if not dirty:
+            new_snap = self._advance(snap, batch_id, {}, set())
+            self._write_snapshot(new_snap)
+            return MergeMetrics(batch_id=batch_id, version=new_snap["version"])
+        refs = [r for r in snap["refs"] if r["bucket"] in dirty]
+        resolved = self._read_refs(snap, refs, with_deleted=True)
         from ..operators.lww import dedupe_lww
 
         resolved = dedupe_lww(resolved, snap["key_cols"], snap["version_cols"])
@@ -563,11 +578,10 @@ class MergeTable:
         new_ver = snap["version"] + 1
         rel_dir = os.path.join("data", f"v{new_ver}")
         out_dir = os.path.join(self.root, rel_dir)
-        (resolved.repartition(min(snap["n_buckets"], 256), F.col(_BUCKET_COL))
+        (resolved.repartition(min(max(len(dirty), 1), 256), F.col(_BUCKET_COL))
                  .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir))
         written = self._list_written(out_dir, rel_dir)
-        all_buckets = {r["bucket"] for r in snap["refs"]}
-        new_snap = self._advance(snap, batch_id, written, all_buckets)
+        new_snap = self._advance(snap, batch_id, written, dirty)
         self._write_snapshot(new_snap)
         m = MergeMetrics(batch_id=batch_id, version=new_ver,
                          n_buckets_touched=len(written))

@@ -124,3 +124,14 @@ def test_changelog_scans_only_changed_bucket_files(spark, tmp_path_factory):
     files = tbl.changes(v1).inputFiles()
     buckets = {f.split("_bucket=")[1].split("/")[0] for f in files}
     assert len(buckets) == 1  # only the touched bucket's files are read
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark gram side must broadcast — a shuffled join on the
+    gram would move the full corpus gram set for a tiny benchmark."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_text_decontaminate(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -252,3 +252,35 @@ def test_compact_depth_policy_bounds_read_amplification(spark, tmpdir_path):
     lo, hi = p.delivery_range()
     p.run(batch_span=max(1, (hi - lo) // 6))
     assert tbl.delta_depth() <= 2
+
+
+def test_compact_rewrites_only_dirty_buckets(spark, tmpdir_path):
+    """Compaction is bucket-pruned: buckets without delta refs keep their
+    exact file refs; only delta-holding buckets are read and rewritten."""
+    tbl = make_table(spark, tmpdir_path, n_buckets=8)
+    rows = [("r", f"p{i}", 1, i, f"v{i}", "INSERT") for i in range(64)]
+    tbl.merge(df(spark, rows), "b1")  # COW base: one ref per bucket
+    refs_before = {r["bucket"]: r["path"] for r in tbl.snapshot()["refs"]}
+    tbl.merge_mor(df(spark, [("r", "p7", 2, 0, "new", "UPDATE")]), "b2")
+    dirty = {r["bucket"] for r in tbl.snapshot()["refs"] if r.get("delta")}
+    assert len(dirty) == 1
+
+    m = tbl.compact("c1")
+    assert m.n_buckets_touched == 1
+    refs_after = {r["bucket"]: r["path"] for r in tbl.snapshot()["refs"]}
+    assert not tbl.has_deltas()
+    for b, p in refs_before.items():
+        if b not in dirty:
+            assert refs_after[b] == p  # clean buckets carried untouched
+    s = state(tbl)
+    assert s[("r", "p7")] == (2, "new") and s[("r", "p8")] == (1, "v8")
+
+
+def test_lookup_after_rebucket_uses_new_spec(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path, n_buckets=2)
+    rows = [("r", f"p{i}", 1, i, f"v{i}", "INSERT") for i in range(32)]
+    tbl.merge(df(spark, rows), "b1")
+    tbl.rebucket(16, "rb1")
+    got = {(r["repo"], r["path"]): r["content"]
+           for r in tbl.lookup([("r", "p5"), ("r", "p6")]).collect()}
+    assert got == {("r", "p5"): "v5", ("r", "p6"): "v6"}
