@@ -35,6 +35,16 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Small single-file dims (documents/embeddings) arrive as ONE input
+    split; CPU-heavy per-row work (md5 minhash, shingling, gram explode,
+    vector math) would otherwise run on one core. Spread rows first —
+    every downstream derivation here is hash-based and
+    partitioning-independent (same trick as datagen/sql_wal.derive_wal;
+    measured 222 s -> ~20 s for minhash LSH at sf0.1 on local[32])."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # CDC engine queries (SURVEY §2.1-2.3, §2.8 surfaces)
 # ---------------------------------------------------------------------------
@@ -359,7 +369,7 @@ def q_join_two_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_explode_token_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: explode + group (square-popularity analog) over document tokens."""
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
@@ -465,7 +475,7 @@ def q_decode_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_decode_balance_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D15: post-pre balance delta via zip_with (reset-etl.ts:206-231)."""
-    e = _read(spark, sf_dir, "embeddings")
+    e = _spread(spark, _read(spark, sf_dir, "embeddings"))
     pre = F.col("embedding")
     post = F.transform(pre, lambda x: x.cast("double") * 1.1)
     delta = F.zip_with(post, F.transform(pre, lambda x: x.cast("double")),
@@ -595,7 +605,7 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count, word_token_count,
     )
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     c = F.col("text")
     return d.select(
         "doc_id",
@@ -613,7 +623,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by normalized-content digest (hash groupBy)."""
     from ore_etl_spark.functions.dedup import exact_dup_groups
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     return exact_dup_groups(d)
 
 
@@ -621,7 +631,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (shingle -> minhash -> band -> bucket join)."""
     from ore_etl_spark.functions.dedup import minhash_lsh_candidates
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     return (
         minhash_lsh_candidates(d, n_hashes=8, band_size=2)
         .groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
@@ -638,7 +648,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components, minhash_lsh_candidates,
     )
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     pairs = minhash_lsh_candidates(d, n_hashes=8, band_size=2).select(
         "id_a", "id_b"
     ).distinct()
@@ -657,7 +667,7 @@ def q_dedup_chunk_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the chunk key: the no-all-pairs LSH-banding shape."""
     from ore_etl_spark.functions.text import chunk_fingerprints
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, _read(spark, sf_dir, "documents")).select("doc_id", "text")
     variant = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" edited tail marker")).alias("text"),
@@ -692,7 +702,7 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the gram, never an all-pairs scan."""
     from ore_etl_spark.functions.dedup import norm_text, shingles
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, _read(spark, sf_dir, "documents")).select("doc_id", "text")
     bench = d.filter(F.col("doc_id") % 31 == 0)
     snippet = F.concat_ws(
         " ", F.slice(F.filter(F.split(norm_text(F.col("text")), " "),
@@ -730,7 +740,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint per document + docs sharing a signature."""
     from ore_etl_spark.functions.dedup import simhash16
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     sigs = d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
     return sigs.groupBy("simhash").agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
@@ -741,7 +751,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard verification over LSH candidate pairs (never all-pairs)."""
     from ore_etl_spark.functions.dedup import minhash_lsh_candidates, ngram_jaccard
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     cands = minhash_lsh_candidates(d, n_hashes=8, band_size=2) \
         .select("id_a", "id_b").distinct()
     a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
@@ -762,7 +772,7 @@ def q_dedup_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares a band) + exact bit_count(xor) verification. Never all-pairs."""
     from ore_etl_spark.functions.dedup import simhash_radius_pairs
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     out = simhash_radius_pairs(d, radius=3, n_bands=4)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
@@ -771,7 +781,7 @@ def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against the vec_id=0 query embedding."""
     from ore_etl_spark.functions.similarity import cosine_topk_brute
 
-    e = _read(spark, sf_dir, "embeddings")
+    e = _spread(spark, _read(spark, sf_dir, "embeddings"))
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return cosine_topk_brute(e.filter(F.col("vec_id") != 0), list(qvec),
                              k=10, round_to=4)
@@ -783,7 +793,7 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per plane — no per-(plane, dim) expression unroll)."""
     from ore_etl_spark.functions.similarity import lsh_bucket_ann
 
-    e = _read(spark, sf_dir, "embeddings")
+    e = _spread(spark, _read(spark, sf_dir, "embeddings"))
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return lsh_bucket_ann(e.filter(F.col("vec_id") != 0), list(qvec),
                           k=10, n_planes=4, round_to=4)
@@ -796,7 +806,7 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine re-rank inside them."""
     from ore_etl_spark.functions.similarity import ivf_ann
 
-    e = _read(spark, sf_dir, "embeddings")
+    e = _spread(spark, _read(spark, sf_dir, "embeddings"))
     rows = (e.filter((F.col("vec_id") >= 0) & (F.col("vec_id") <= 8))
             .select("vec_id", "embedding").collect())
     by_id = {r["vec_id"]: list(r["embedding"]) for r in rows}
@@ -822,14 +832,14 @@ def q_sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, label-blocked (never all-pairs)."""
     from ore_etl_spark.functions.similarity import cosine_pairs_threshold
 
-    e = _read(spark, sf_dir, "embeddings")
+    e = _spread(spark, _read(spark, sf_dir, "embeddings"))
     return cosine_pairs_threshold(e, threshold=0.3, round_to=4)
 
 
 def q_sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norm + count (embedding column aggregates:
     element-wise array mean via posexplode -> groupBy, the scalable shape)."""
-    e = _read(spark, sf_dir, "embeddings")
+    e = _spread(spark, _read(spark, sf_dir, "embeddings"))
     ex = e.select("label", F.posexplode("embedding").alias("dim", "x"))
     cent = ex.groupBy("label", "dim").agg(
         F.avg(F.col("x").cast("double")).alias("c"),
@@ -874,7 +884,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha256 over the identical UTF-8 byte sequence."""
     from ore_etl_spark.functions.multimodal import extract_media_meta
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     out = extract_media_meta(_synth_media(d), "media")
     return out.select(
         "doc_id",
@@ -894,7 +904,7 @@ def q_multimodal_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_multimodal.py pins the pruned-rowcount-through-decode)."""
     from ore_etl_spark.functions.multimodal import extract_media_meta
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     meta = extract_media_meta(_synth_media(d), "media")
     pruned = meta.filter(
         (F.col("meta.format") == "gif") & (F.col("meta.width") >= 17000)

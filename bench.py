@@ -63,6 +63,9 @@ ANALYTICS_QUERIES = [
     "cdc_replay_state", "cdc_asof_join", "agg_top_users", "agg_daily",
     "win_running_total", "pricing_summary", "join_two_aggs",
     "explode_token_popularity",
+    # round-2 additions: CDC read side + heavier dedup/ANN probes
+    "cdc_changelog", "win_sessionize", "dedup_minhash_lsh",
+    "dedup_components", "sim_ivf_ann", "text_decontaminate",
 ]
 
 

@@ -101,6 +101,17 @@ def cmd_compact(args):
                       "n_buckets": m.n_buckets_touched}))
 
 
+def cmd_maintain(args):
+    import uuid
+
+    spark = _spark(args)
+    tbl = _table(spark, args, create=False)
+    res = tbl.maintain(f"cli-{uuid.uuid4().hex[:8]}",
+                       compact_depth=args.compact_depth,
+                       keep_snapshots=args.keep_last)
+    print(json.dumps(res))
+
+
 def cmd_vacuum(args):
     spark = _spark(args)
     tbl = _table(spark, args, create=False)
@@ -201,6 +212,13 @@ def main(argv=None):
     c.add_argument("--expire", action="store_true",
                    help="drop tombstones (only after the out-of-order horizon)")
     c.set_defaults(fn=cmd_compact)
+
+    mt = sub.add_parser("maintain")
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--buckets", type=int, default=64)
+    mt.add_argument("--compact-depth", type=int, default=4)
+    mt.add_argument("--keep-last", type=int, default=10)
+    mt.set_defaults(fn=cmd_maintain)
 
     v = sub.add_parser("vacuum")
     v.add_argument("--table", required=True)

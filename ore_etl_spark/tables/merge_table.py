@@ -889,6 +889,28 @@ class MergeTable:
         with open(path) as f:
             return [json.loads(line) for line in f if line.strip()]
 
+    def maintain(
+        self,
+        batch_id: str,
+        compact_depth: int = 4,
+        keep_snapshots: int = 10,
+        vacuum_files: bool = True,
+    ) -> dict:
+        """One-call table maintenance (the nightly job a 10^10-row table
+        needs): compact if any bucket's delta chain exceeds
+        ``compact_depth``, expire snapshots beyond ``keep_snapshots``, and
+        vacuum unreferenced files. Each step is independently idempotent;
+        the whole call is safe to re-run."""
+        out: dict = {"compacted": False}
+        if self.delta_depth() > compact_depth:
+            m = self.compact(f"maintain-compact:{batch_id}")
+            out["compacted"] = not m.skipped_already_committed
+            out["compact_version"] = m.version
+        out["expired_versions"] = self.expire_snapshots(keep_last=keep_snapshots)
+        if vacuum_files:
+            out.update(self.vacuum())
+        return out
+
     # -------------------------------------------------------------- repair
     def update_where(self, condition, assignments: dict, batch_id: str) -> MergeMetrics:
         """Column-repair pass (reference fix-squares, SURVEY T10): rewrite

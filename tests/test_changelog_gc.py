@@ -227,3 +227,23 @@ def test_changes_across_schema_evolution(spark, tmpdir_path):
     assert rows["update_preimage"]["stars"] is None   # pre-evolution row
     assert rows["update_postimage"]["stars"] == 7
     assert rows["update_postimage"]["content"] == "v2"
+
+
+def test_changes_still_works_after_vacuum_of_interior_versions(spark, tmpdir_path):
+    """Vacuum keeps every file referenced by ANY retained snapshot — refs
+    carried forward from expired versions survive, so changes() between
+    two retained versions is unaffected by GC of the interval's history."""
+    tbl = make_table(spark, tmpdir_path, n_buckets=2)
+    for i in range(5):
+        tbl.merge(df(spark, [("a", f"k{i}", i + 1, 0, f"v{i + 1}", "INSERT")]),
+                  f"b{i}")
+    v3, v5 = tbl.version - 2, tbl.version
+    tbl.expire_snapshots(keep_last=3)  # v1, v2 gone
+    tbl.vacuum()
+    got = change_set(tbl, v3, v5)
+    assert got == {
+        ("insert", "a", "k3", 4, "v4"),
+        ("insert", "a", "k4", 5, "v5"),
+    }
+    # rows written back at v1/v2 are still readable through v3's manifest
+    assert tbl.read(version=v3).count() == 3

@@ -284,3 +284,21 @@ def test_lookup_after_rebucket_uses_new_spec(spark, tmpdir_path):
     got = {(r["repo"], r["path"]): r["content"]
            for r in tbl.lookup([("r", "p5"), ("r", "p6")]).collect()}
     assert got == {("r", "p5"): "v5", ("r", "p6"): "v6"}
+
+
+def test_maintain_runs_compact_expire_vacuum(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path, n_buckets=2)
+    for i in range(6):
+        tbl.merge_mor(df(spark, [("a", "x", i + 1, 0, f"v{i + 1}", "UPDATE")]),
+                      f"b{i}")
+    assert tbl.delta_depth() == 6
+    # keep only the post-compaction snapshot so the folded delta dirs are
+    # actually unreferenced (keeping N>1 retains them via older manifests)
+    res = tbl.maintain("m1", compact_depth=4, keep_snapshots=1)
+    assert res["compacted"] and tbl.delta_depth() == 0
+    assert res["expired_versions"] and res["removed_dirs"] > 0
+    assert state(tbl) == {("a", "x"): (6, "v6")}
+    # idempotent re-run: nothing left to do
+    res2 = tbl.maintain("m1", compact_depth=4, keep_snapshots=1)
+    assert not res2["compacted"] and res2["removed_dirs"] == 0
+    assert state(tbl) == {("a", "x"): (6, "v6")}
