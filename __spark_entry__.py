@@ -737,13 +737,14 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprint per document + docs sharing a signature."""
-    from ore_etl_spark.functions.dedup import simhash16
+    """SimHash fingerprint per document + docs sharing a signature
+    (explode->codegen-agg signature form; values identical to simhash16)."""
+    from ore_etl_spark.functions.dedup import simhash_signatures_agg
 
     d = _spread(spark, _read(spark, sf_dir, "documents"))
-    sigs = d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
-    return sigs.groupBy("simhash").agg(
-        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    sigs = simhash_signatures_agg(d, "text", "doc_id", bits=16)
+    return sigs.groupBy(F.col("sig").alias("simhash")).agg(
+        F.count("*").alias("n_docs"), F.min("id").alias("min_doc_id")
     )
 
 

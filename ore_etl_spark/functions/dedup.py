@@ -206,6 +206,46 @@ def simhash32(col: Column) -> Column:
     return out
 
 
+def simhash_signatures_agg(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash signatures via explode -> codegen bit votes -> one agg.
+
+    Same interpreted-lambda escape as ``minhash_signatures_agg``: the
+    column form runs ``bits`` separate F.aggregate lambdas per row outside
+    codegen. Here tokens explode to (id, token-hash) rows, all bit votes
+    are conditional SUMs in a single map-side-combined aggregation, and
+    the signature reassembles from the vote signs. Values are identical
+    to ``simhash16``/``simhash32`` (same votes, same sign rule).
+
+    Returns (id, sig).
+    """
+    hex_chars = bits // 4
+    toks = F.filter(F.split(norm_text(F.col(text_col)), " "), lambda t: t != "")
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(toks).alias("tok"),
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, hex_chars), 16, 10)
+        .cast("long").alias("h"),
+    )
+    votes = ex.groupBy("id").agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"v{i}")
+        for i in range(bits)
+    ])
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return votes.select("id", sig.alias("sig"))
+
+
 def simhash_radius_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -231,8 +271,7 @@ def simhash_radius_pairs(
         raise ValueError("need radius < n_bands for the pigeonhole guarantee")
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sigs = df.select(F.col(id_col).alias("id"),
-                     simhash16(F.col(text_col)).alias("sig"))
+    sigs = simhash_signatures_agg(df, text_col, id_col, bits)
     bands = sigs.select(
         "id", "sig",
         F.explode(F.array(*[

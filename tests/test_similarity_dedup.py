@@ -296,3 +296,19 @@ def test_connected_components_edge_order_invariant(spark):
            for r in connected_components(df).collect()}
     # (7,7) self-loop dropped but 7 still absent (no real edge); others:
     assert got == {5: 1, 3: 1, 1: 1, 9: 1, 2: 2, 8: 2, 7: 7}
+
+
+def test_simhash_agg_form_equals_column_form(spark):
+    """The codegen-agg signature path must be bit-identical to the
+    higher-order column form it replaces in the hot path."""
+    from ore_etl_spark.functions.dedup import simhash16, simhash_signatures_agg
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma delta {i % 5}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    col_form = {r["doc_id"]: r["s"]
+                for r in df.select("doc_id", simhash16(F.col("text")).alias("s")).collect()}
+    agg_form = {r["id"]: r["sig"]
+                for r in simhash_signatures_agg(df, bits=16).collect()}
+    assert agg_form == col_form
