@@ -225,17 +225,20 @@ def simhash_signatures_agg(
     """
     hex_chars = bits // 4
     toks = F.filter(F.split(norm_text(F.col(text_col)), " "), lambda t: t != "")
+    # explode_outer keeps zero-token docs (NULL tok -> NULL h -> vote 0 ->
+    # sig 0), matching simhash16's empty-array behavior exactly
     ex = df.select(
         F.col(id_col).alias("id"),
-        F.explode(toks).alias("tok"),
+        F.explode_outer(toks).alias("tok"),
     ).select(
         "id",
         F.conv(F.substring(F.md5(F.col("tok")), 1, hex_chars), 16, 10)
         .cast("long").alias("h"),
     )
     votes = ex.groupBy("id").agg(*[
-        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
-                     1).otherwise(-1)).alias(f"v{i}")
+        F.sum(F.when(F.col("h").isNull(), 0)
+              .when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"v{i}")
         for i in range(bits)
     ])
     sig = None

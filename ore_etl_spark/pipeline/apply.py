@@ -286,13 +286,39 @@ class CdcApplyPipeline:
                 results.append(self.run_batch(lo, hi, stats=stats))
         return results
 
+    def _quarantine_recover(self) -> None:
+        """Heal a crash inside redrive()'s generation swap: if the current
+        dir is missing, the fully-written ``.next`` generation (written
+        BEFORE any rename) is the correct state; promote it. Leftover
+        ``.old`` dirs from a completed swap are GC'd opportunistically."""
+        import os
+        import shutil
+
+        nxt = f"{self.quarantine_dir}.next"
+        if not os.path.exists(self.quarantine_dir) and os.path.exists(nxt):
+            os.rename(nxt, self.quarantine_dir)
+        old = f"{self.quarantine_dir}.old"
+        if os.path.exists(self.quarantine_dir) and os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
     def quarantine(self) -> DataFrame:
         import os
 
+        from pyspark.sql import types as T
+
+        self._quarantine_recover()
         if not os.path.exists(self.quarantine_dir) or not os.listdir(self.quarantine_dir):
-            schema = ("event_id string, partition_id int, commit_seq long, "
-                      "event_seq long, payload string, error string, attempts int")
-            return self.spark.createDataFrame([], schema)
+            # empty-case schema must match what run_batch writes: the FULL
+            # raw event row plus error/attempts (a fixed subset would make
+            # column references crash only when the quarantine is empty)
+            try:
+                base = list(self.events().schema.fields)
+            except Exception:
+                base = [T.StructField("event_id", T.StringType(), True),
+                        T.StructField("payload", T.StringType(), True)]
+            fields = base + [T.StructField("error", T.StringType(), True),
+                             T.StructField("attempts", T.IntegerType(), True)]
+            return self.spark.createDataFrame([], T.StructType(fields))
         return self.spark.read.option("mergeSchema", "true") \
             .parquet(f"{self.quarantine_dir}/*")
 
@@ -352,9 +378,18 @@ class CdcApplyPipeline:
         survivors.write.mode("overwrite").parquet(f"{nxt}/batch_id=redrive")
         n_still = still.count()
         n_dead = dead.count()
-        shutil.rmtree(self.quarantine_dir, ignore_errors=True)
+        # crash-safe generation swap: .next is fully written first, so at
+        # every intermediate crash point either the old or the new complete
+        # generation is recoverable (_quarantine_recover promotes .next
+        # when current is missing; rmtree+rename-in-place would lose the
+        # DLQ entirely if the process died between the two calls)
         import os
+
+        old = f"{self.quarantine_dir}.old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.quarantine_dir, old)
         os.rename(nxt, self.quarantine_dir)
+        shutil.rmtree(old, ignore_errors=True)
         rec = {"n_recovered": n_rec, "n_still_failed": n_still,
                "n_dead": n_dead, "batch_id": batch_id}
         if self.collect_metrics:

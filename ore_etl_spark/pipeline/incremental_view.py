@@ -115,9 +115,15 @@ class IncrementalAggView:
               .alias(f"sum_{c}") for c in self.sum_cols],
         ).withColumn("_src_version", F.lit(src_ver).cast("long"))
         # groups that vanished entirely since the previous state
+        # (null-safe anti join: a NULL group in the stored view must match
+        # the NULL group in the fresh aggregate, not be declared gone)
+        acond = None
+        for c in self.group_cols:
+            e = F.col(f"t.{c}").eqNullSafe(F.col(f"g.{c}"))
+            acond = e if acond is None else (acond & e)
         gone = (
-            self.table.read()
-            .join(agg.select(*self.group_cols), self.group_cols, "left_anti")
+            self.table.read().alias("t")
+            .join(agg.select(*self.group_cols).alias("g"), acond, "left_anti")
             .select(*self.group_cols)
             .withColumn("n_rows", F.lit(0).cast("long"))
         )
@@ -146,7 +152,13 @@ class IncrementalAggView:
             # without sums, an equal-count group cannot have changed
             d = d.filter(F.col("d_n") != 0)
         cur = self.table.read().alias("v")
-        j = d.alias("d").join(cur, self.group_cols, "left")
+        # null-safe join: a NULL-valued group must still find its stored
+        # row, or its aggregates get overwritten instead of incremented
+        cond = None
+        for c in self.group_cols:
+            e = F.col(f"d.{c}").eqNullSafe(F.col(f"v.{c}"))
+            cond = e if cond is None else (cond & e)
+        j = d.alias("d").join(cur, cond, "left")
         new_n = F.coalesce(F.col("v.n_rows"), F.lit(0)) + F.col("d.d_n")
         cols = [F.col(f"d.{c}").alias(c) for c in self.group_cols]
         cols.append(new_n.alias("n_rows"))

@@ -38,6 +38,16 @@ def _file_lock(path: str, timeout_s: float = 30.0, poll_s: float = 0.005):
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             break
         except FileExistsError:
+            # stale-lock break: a holder that died mid-section leaves the
+            # lock file forever; past the timeout horizon no live holder
+            # can still be inside (sections are sub-second), so reclaim
+            # instead of deadlocking every future runner
+            try:
+                if time.time() - os.path.getmtime(lock) > timeout_s:
+                    os.unlink(lock)
+                    continue
+            except OSError:
+                continue  # lock vanished or raced — retry acquisition
             if time.time() > deadline:
                 raise TimeoutError(f"could not acquire {lock} in {timeout_s}s")
             time.sleep(poll_s)

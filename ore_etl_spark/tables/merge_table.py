@@ -329,9 +329,11 @@ class MergeTable:
         of thousands — never the table."""
         snap = self.snapshot()
         key_cols = snap["key_cols"]
+        # probe schema MUST follow key_cols order — createDataFrame binds
+        # tuples by position, and callers pass key tuples in key_cols order
+        by_name = {f.name: f for f in self.schema(snap).fields}
         probe = self.spark.createDataFrame(
-            key_values, T.StructType([f for f in self.schema(snap).fields
-                                      if f.name in key_cols])
+            key_values, T.StructType([by_name[c] for c in key_cols])
         )
         buckets = sorted({
             r["_b"] for r in
@@ -603,11 +605,14 @@ class MergeTable:
         if self.is_committed(batch_id, snap):
             return MergeMetrics(batch_id=batch_id, version=snap["version"],
                                 skipped_already_committed=True)
-        resolved = self.read(with_deleted=True)
+        # raw refs read + ONE LWW resolution (read() would already resolve
+        # deltas; resolving twice doubles the most expensive stage)
+        resolved = self._read_refs(snap, snap["refs"], with_deleted=True)
         from ..operators.lww import dedupe_lww
 
         if self.has_deltas(snap):
             resolved = dedupe_lww(resolved, snap["key_cols"], snap["version_cols"])
+        old_buckets = {r["bucket"] for r in snap["refs"]}
         snap = {**snap, "n_buckets": int(n_buckets)}
         resolved = resolved.withColumn(_BUCKET_COL, self.bucket_expr(snap))
         new_ver = snap["version"] + 1
@@ -616,7 +621,6 @@ class MergeTable:
         (resolved.repartition(min(int(n_buckets), 256), F.col(_BUCKET_COL))
                  .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir))
         written = self._list_written(out_dir, rel_dir)
-        old_buckets = {r["bucket"] for r in self.snapshot()["refs"]}
         new_snap = self._advance(snap, batch_id, written, old_buckets)
         self._write_snapshot(new_snap)
         m = MergeMetrics(batch_id=batch_id, version=new_ver,
@@ -703,18 +707,22 @@ class MergeTable:
         tgt = tgt.withColumn(_BUCKET_COL, self.bucket_expr(snap))
 
         # --- resolve: full outer join on key, conditional LWW ------------
-        skey = [F.col(f"s.{c}") for c in key_cols]
-        tkey = [F.col(f"t.{c}") for c in key_cols]
+        # presence markers + null-safe key equality: key columns MAY hold
+        # NULL (e.g. a view table grouped on a nullable column) — deriving
+        # presence from key nullability would mis-classify those rows and
+        # plain equality would never match them
+        src = src.withColumn("_s_mark", F.lit(True))
+        tgt = tgt.withColumn("_t_mark", F.lit(True))
         cond = None
-        for a, b in zip(skey, tkey):
-            c = a == b
-            cond = c if cond is None else (cond & c)
+        for c in key_cols:
+            e = F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}"))
+            cond = e if cond is None else (cond & e)
         j = src.alias("s").join(tgt.alias("t"), cond, "full_outer")
 
         s_ver = F.struct(*[F.col(f"s.{c}") for c in version_cols])
         t_ver = F.struct(*[F.col(f"t.{c}") for c in version_cols])
-        s_present = F.col(f"s.{key_cols[0]}").isNotNull()
-        t_present = F.col(f"t.{key_cols[0]}").isNotNull()
+        s_present = F.col("s._s_mark").isNotNull()
+        t_present = F.col("t._t_mark").isNotNull()
         take_src = s_present & (~t_present | (s_ver > t_ver))
 
         out_cols = [
@@ -1029,27 +1037,32 @@ class MergeTable:
 
         from ..operators.lww import dedupe_lww
 
-        def side(snap: dict) -> DataFrame:
+        def side(snap: dict, mark: str) -> DataFrame:
             refs = [r for r in snap["refs"] if r["bucket"] in changed]
             df = self._read_refs(snap, refs, with_deleted=True)
             if any(r.get("delta") for r in refs):
                 df = dedupe_lww(df, key_cols, version_cols)
-            return self._align(df, full)
+            return self._align(df, full).withColumn(mark, F.lit(True))
 
-        a, b = side(snap_a).alias("a"), side(snap_b).alias("b")
+        a = side(snap_a, "_a_mark").alias("a")
+        b = side(snap_b, "_b_mark").alias("b")
         cond = None
         for c in key_cols:
-            eq = F.col(f"a.{c}") == F.col(f"b.{c}")
+            eq = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
             cond = eq if cond is None else (cond & eq)
         j = a.join(b, cond, "full_outer")
 
-        a_p = F.col(f"a.{key_cols[0]}").isNotNull()
-        b_p = F.col(f"b.{key_cols[0]}").isNotNull()
+        a_p = F.col("a._a_mark").isNotNull()
+        b_p = F.col("b._b_mark").isNotNull()
         a_live = a_p & ~F.coalesce(F.col(f"a.{_DELETED_COL}"), F.lit(False))
         b_live = b_p & ~F.coalesce(F.col(f"b.{_DELETED_COL}"), F.lit(False))
-        a_ver = F.struct(*[F.col(f"a.{c}") for c in version_cols])
-        b_ver = F.struct(*[F.col(f"b.{c}") for c in version_cols])
-        changed_ver = ~a_p | ~b_p | (a_ver != b_ver)
+        # full-row null-safe comparison, not just version cols: a repair
+        # (update_where) rewrites values WITHOUT bumping versions — the
+        # changelog must still emit those as updates or downstream
+        # consumers/views silently diverge from the table
+        a_row = F.struct(*[F.col(f"a.{f.name}") for f in full.fields])
+        b_row = F.struct(*[F.col(f"b.{f.name}") for f in full.fields])
+        changed_ver = ~a_row.eqNullSafe(b_row)
 
         def img(alias: str, ctype: str, when):
             return F.when(

@@ -247,3 +247,39 @@ def test_changes_still_works_after_vacuum_of_interior_versions(spark, tmpdir_pat
     }
     # rows written back at v1/v2 are still readable through v3's manifest
     assert tbl.read(version=v3).count() == 3
+
+
+def test_changes_sees_update_where_repairs(spark, tmpdir_path):
+    """A repair rewrites values WITHOUT bumping versions — the changelog
+    must still emit update pre/post images (full-row comparison), or
+    downstream consumers diverge from the table."""
+    tbl = make_table(spark, tmpdir_path)
+    tbl.merge(df(spark, [("a", "k1", 1, 0, "broken", "INSERT"),
+                         ("a", "k2", 1, 1, "fine", "INSERT")]), "b1")
+    v1 = tbl.version
+    tbl.update_where(F.col("content") == "broken",
+                     {"content": F.lit("fixed")}, "repair1")
+    got = change_set(tbl, v1)
+    assert got == {
+        ("update_preimage", "a", "k1", 1, "broken"),
+        ("update_postimage", "a", "k1", 1, "fixed"),
+    }
+    # and compaction-style no-op rewrites still emit nothing
+    tbl.compact("c1")
+    assert tbl.changes(tbl.version - 1).count() == 0
+
+
+def test_lookup_respects_key_cols_order(spark, tmpdir_path):
+    """key_cols order differs from schema field order: probe tuples bind
+    by key_cols position, not schema position."""
+    tbl = MergeTable.create(
+        spark, f"{tmpdir_path}/swapped", SCHEMA,
+        key_cols=["path", "repo"],  # reversed vs schema order (repo, path)
+        version_cols=["commit_seq", "event_seq"], n_buckets=4,
+    )
+    rows = [("r", f"p{i}", 1, i, f"v{i}", "INSERT") for i in range(16)]
+    schema = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType())])
+    tbl.merge(spark.createDataFrame(rows, schema), "b1")
+    out = tbl.lookup([("p3", "r")])  # (path, repo) order
+    got = [(r["repo"], r["path"], r["content"]) for r in out.collect()]
+    assert got == [("r", "p3", "v3")]

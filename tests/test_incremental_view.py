@@ -130,3 +130,24 @@ def test_expired_base_falls_back_to_full_rebuild(spark, source, tmpdir_path):
     source.merge(df(spark, [("r", "z", 10, 0, "go", 9.0, "INSERT")]), "b9")
     assert view.refresh()["mode"] == "incremental"
     assert view_state(view) == brute(source)
+
+
+def test_null_group_accumulates_not_overwrites(spark, source, tmpdir_path):
+    """NULL group values must null-safe-join to their stored row — a
+    second refresh increments the NULL group instead of resetting it."""
+    view = make_view(spark, source, tmpdir_path)
+    source.merge(df(spark, [
+        ("r", "a", 1, 0, None, 2.0, "INSERT"),
+        ("r", "b", 1, 1, None, 3.0, "INSERT"),
+        ("r", "c", 1, 2, "py", 1.0, "INSERT"),
+    ]), "b1")
+    view.refresh()
+    source.merge(df(spark, [("r", "d", 2, 0, None, 5.0, "INSERT")]), "b2")
+    assert view.refresh()["mode"] == "incremental"
+    got = {r["lang"]: (r["n_rows"], r["sum_size"]) for r in view.read().collect()}
+    assert got[None] == (3, 10.0) and got["py"] == (1, 1.0)
+    # full rebuild after that must not declare the NULL group gone
+    view.state.set("view", -1)
+    view.refresh()
+    got2 = {r["lang"]: (r["n_rows"], r["sum_size"]) for r in view.read().collect()}
+    assert got2[None] == (3, 10.0)

@@ -225,3 +225,53 @@ def test_decode_paths_agree_on_invalid_utf8(spark):
            for r in decode_events_pandas(df).collect()}
     assert jvm == pdp
     assert jvm[1][0] is False and jvm[2][0] is False and jvm[3][0] is True
+
+
+def test_stale_file_lock_is_reclaimed(tmpdir_path):
+    """A lock left by a dead holder must not deadlock every future
+    claimer: past the timeout horizon it is broken and reclaimed."""
+    import os
+    import time
+
+    from ore_etl_spark.state.stores import _file_lock
+
+    path = f"{tmpdir_path}/ledger.json"
+    lock = path + ".lock"
+    open(lock, "w").close()
+    past = time.time() - 3600
+    os.utime(lock, (past, past))  # orphaned an hour ago
+    t0 = time.time()
+    with _file_lock(path, timeout_s=5.0):
+        pass  # must acquire by breaking the stale lock, well under timeout
+    assert time.time() - t0 < 2.0
+    assert not os.path.exists(lock)
+
+
+def test_quarantine_recovers_mid_swap_crash(spark, tmpdir_path):
+    """Crash between redrive()'s generation renames: current dir missing,
+    .next fully written -> quarantine() promotes .next, nothing is lost."""
+    import os
+    import shutil
+
+    from ore_etl_spark.datagen.wal import generate_wal
+    from ore_etl_spark.pipeline.apply import CdcApplyPipeline, target_schema
+    from ore_etl_spark.tables.merge_table import MergeTable
+
+    wal = f"{tmpdir_path}/events"
+    generate_wal(spark, n_keys=300, n_partitions=2).write.parquet(wal)
+    tbl = MergeTable.create(
+        spark, f"{tmpdir_path}/target", target_schema(),
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=4,
+    )
+    p = CdcApplyPipeline(spark, wal, tbl, f"{tmpdir_path}/state",
+                         collect_metrics=False)
+    p.run()
+    n_q = p.quarantine().count()
+    assert n_q > 0
+    # simulate the crash window: current renamed away, .next in place
+    os.rename(p.quarantine_dir, f"{p.quarantine_dir}.next.tmp")
+    shutil.rmtree(f"{p.quarantine_dir}.next", ignore_errors=True)
+    os.rename(f"{p.quarantine_dir}.next.tmp", f"{p.quarantine_dir}.next")
+    assert p.quarantine().count() == n_q  # recovered, nothing lost
+    assert os.path.exists(p.quarantine_dir)

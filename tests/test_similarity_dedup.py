@@ -303,10 +303,9 @@ def test_simhash_agg_form_equals_column_form(spark):
     higher-order column form it replaces in the hot path."""
     from ore_etl_spark.functions.dedup import simhash16, simhash_signatures_agg
 
-    df = spark.createDataFrame(
-        [(i, f"alpha beta w{i} gamma delta {i % 5}") for i in range(40)],
-        "doc_id long, text string",
-    )
+    rows = [(i, f"alpha beta w{i} gamma delta {i % 5}") for i in range(40)]
+    rows += [(100, ""), (101, "   ")]  # zero-token docs must keep sig 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
     col_form = {r["doc_id"]: r["s"]
                 for r in df.select("doc_id", simhash16(F.col("text")).alias("s")).collect()}
     agg_form = {r["id"]: r["sig"]
