@@ -135,3 +135,32 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_changes_join_is_not_nested_loop(spark, tmp_path_factory):
+    """Null-safe key equality must still plan as a hash/sort-merge join —
+    a nested-loop here would be quadratic at scale."""
+    import pyspark.sql.types as T
+
+    from ore_etl_spark.tables.merge_table import MergeTable
+
+    root = str(tmp_path_factory.mktemp("nsj") / "tbl")
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit_seq", T.LongType()),
+        T.StructField("event_seq", T.LongType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("op", T.StringType()),
+    ])
+    tbl = MergeTable.create(
+        spark, root, T.StructType(schema.fields[:-1]),
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=4,
+    )
+    rows = [("r", f"p{i}", 1, i, "v", "INSERT") for i in range(32)]
+    tbl.merge(spark.createDataFrame(rows, schema), "b1")
+    tbl.merge(spark.createDataFrame([("r", "p1", 2, 0, "x", "UPDATE")], schema), "b2")
+    plan = plan_of(tbl.changes(tbl.version - 1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
