@@ -302,3 +302,20 @@ def test_maintain_runs_compact_expire_vacuum(spark, tmpdir_path):
     res2 = tbl.maintain("m1", compact_depth=4, keep_snapshots=1)
     assert not res2["compacted"] and res2["removed_dirs"] == 0
     assert state(tbl) == {("a", "x"): (6, "v6")}
+
+
+def test_snapshot_isolation_for_inflight_readers(spark, tmpdir_path):
+    """A reader that resolved the snapshot BEFORE a merge keeps seeing its
+    version's consistent file set (immutable snapshots; files survive
+    until vacuum), while new readers see the new version."""
+    tbl = make_table(spark, tmpdir_path)
+    tbl.merge(df(spark, [("a", "x", 1, 0, "old", "INSERT")]), "b1")
+    reader = tbl.read()  # plan resolved against v1's refs
+    tbl.merge(df(spark, [("a", "x", 2, 0, "new", "UPDATE")]), "b2")
+    assert [r["content"] for r in reader.collect()] == ["old"]  # isolated
+    assert [r["content"] for r in tbl.read().collect()] == ["new"]
+    # after expiry + vacuum the old files are gone - pinned plans may
+    # fail, fresh reads are unaffected (documented single-writer GC)
+    tbl.expire_snapshots(keep_last=1)
+    tbl.vacuum()
+    assert [r["content"] for r in tbl.read().collect()] == ["new"]
