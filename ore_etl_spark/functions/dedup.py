@@ -55,21 +55,6 @@ def shingles(col: Column, k: int = 3) -> Column:
     )
 
 
-def _md5_hash64(col: Column, salt: int) -> Column:
-    """Stable 60-bit integer hash from md5 (reproducible in DuckDB)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"s{salt}|"), col)), 1, 15), 16, 10
-    ).cast("decimal(20,0)").cast("long")
-
-
-def minhash_signature(shingle_col: Column, n_hashes: int = 8) -> Column:
-    """Array of n minhash values over the shingle set."""
-    return F.array(*[
-        F.array_min(F.transform(shingle_col, lambda s: _md5_hash64(s, i)))
-        for i in range(n_hashes)
-    ])
-
-
 def minhash_signatures_agg(
     df: DataFrame,
     text_col: str = "text",
@@ -142,22 +127,6 @@ def minhash_lsh_candidates(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
         F.col("a.band").alias("band"),
     ).distinct()
-
-
-def minhash_signature_str(shingle_col: Column, n_hashes: int = 8) -> Column:
-    """Minhash via lexicographic MIN of salted md5 hex strings.
-
-    Equivalent quality to integer minhash (md5 is uniform), but the value
-    is engine-portable: DuckDB/Spark/Trino all agree on md5 hex and on
-    string ordering, so LSH band keys match across engines bit-for-bit
-    without any hex->int conversion."""
-    def salted(i: int):
-        # factory closure: a 2-param lambda would be read as (elem, idx)
-        return lambda s: F.md5(F.concat(F.lit(f"s{i}|"), s))
-
-    return F.array(*[
-        F.array_min(F.transform(shingle_col, salted(i))) for i in range(n_hashes)
-    ])
 
 
 def simhash16(col: Column) -> Column:

@@ -175,6 +175,10 @@ class CdcApplyPipeline:
         # re-decode after an upstream repair; attempts counts decode tries
         # (reference x-retry-count, transaction-consumer.ts:145-174)
         if qn > 0:
+            # heal any interrupted redrive swap BEFORE writing: creating
+            # the dir here would otherwise strand a complete .next
+            # generation forever (quarantine() would never promote it)
+            self._quarantine_recover()
             raw_cols = [c for c in decoded.columns if c not in DECODE_ADDED]
             decoded.filter(~F.col("is_valid")).select(
                 *raw_cols,
@@ -310,12 +314,17 @@ class CdcApplyPipeline:
         if not os.path.exists(self.quarantine_dir) or not os.listdir(self.quarantine_dir):
             # empty-case schema must match what run_batch writes: the FULL
             # raw event row plus error/attempts (a fixed subset would make
-            # column references crash only when the quarantine is empty)
-            try:
-                base = list(self.events().schema.fields)
-            except Exception:
-                base = [T.StructField("event_id", T.StringType(), True),
-                        T.StructField("payload", T.StringType(), True)]
+            # column references crash only when the quarantine is empty).
+            # Schema inference over the WAL dir is driver I/O — do it once.
+            if not hasattr(self, "_events_schema"):
+                try:
+                    self._events_schema = list(self.events().schema.fields)
+                except Exception:
+                    self._events_schema = [
+                        T.StructField("event_id", T.StringType(), True),
+                        T.StructField("payload", T.StringType(), True),
+                    ]
+            base = self._events_schema
             fields = base + [T.StructField("error", T.StringType(), True),
                              T.StructField("attempts", T.IntegerType(), True)]
             return self.spark.createDataFrame([], T.StructType(fields))

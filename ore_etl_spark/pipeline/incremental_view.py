@@ -30,12 +30,13 @@ changes() machinery as any other table.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..tables.merge_table import MergeTable
+from ..tables.merge_table import MergeTable, keys_eq_null_safe
 from ..state.stores import CheckpointStore
 
 
@@ -80,7 +81,19 @@ class IncrementalAggView:
 
     # ------------------------------------------------------------------ API
     def last_refreshed_version(self) -> int:
-        return self.state.get("view")
+        """Authoritative refreshed-to version. The checkpoint alone is NOT
+        atomic with the view merge (a crash between merge and set would
+        re-fold the overlapping interval and double-count); the view
+        table's own batch-id manifest records ``delta_{from}_{to}`` /
+        ``full_{to}`` in the SAME atomic snapshot as the data, so the max
+        'to' parsed from it wins over a stale checkpoint."""
+        ckpt = self.state.get("view")
+        manifest = -1
+        for bid in self.table.snapshot().get("applied_batch_ids", []):
+            m = re.fullmatch(r"(?:delta_\d+_|full_)(\d+)", bid or "")
+            if m:
+                manifest = max(manifest, int(m.group(1)))
+        return max(ckpt, manifest)
 
     def read(self) -> DataFrame:
         return self.table.read().drop("_src_version")
@@ -117,13 +130,10 @@ class IncrementalAggView:
         # groups that vanished entirely since the previous state
         # (null-safe anti join: a NULL group in the stored view must match
         # the NULL group in the fresh aggregate, not be declared gone)
-        acond = None
-        for c in self.group_cols:
-            e = F.col(f"t.{c}").eqNullSafe(F.col(f"g.{c}"))
-            acond = e if acond is None else (acond & e)
         gone = (
             self.table.read().alias("t")
-            .join(agg.select(*self.group_cols).alias("g"), acond, "left_anti")
+            .join(agg.select(*self.group_cols).alias("g"),
+                  keys_eq_null_safe("t", "g", self.group_cols), "left_anti")
             .select(*self.group_cols)
             .withColumn("n_rows", F.lit(0).cast("long"))
         )
@@ -154,11 +164,8 @@ class IncrementalAggView:
         cur = self.table.read().alias("v")
         # null-safe join: a NULL-valued group must still find its stored
         # row, or its aggregates get overwritten instead of incremented
-        cond = None
-        for c in self.group_cols:
-            e = F.col(f"d.{c}").eqNullSafe(F.col(f"v.{c}"))
-            cond = e if cond is None else (cond & e)
-        j = d.alias("d").join(cur, cond, "left")
+        j = d.alias("d").join(cur, keys_eq_null_safe("d", "v", self.group_cols),
+                              "left")
         new_n = F.coalesce(F.col("v.n_rows"), F.lit(0)) + F.col("d.d_n")
         cols = [F.col(f"d.{c}").alias(c) for c in self.group_cols]
         cols.append(new_n.alias("n_rows"))

@@ -32,30 +32,43 @@ def _file_lock(path: str, timeout_s: float = 30.0, poll_s: float = 0.005):
     POSIX open(O_EXCL) is atomic on local FS and NFS; on an object store
     this maps to a conditional PUT."""
     lock = path + ".lock"
+    token = uuid.uuid4().hex
     deadline = time.time() + timeout_s
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, token.encode())
+            os.close(fd)
             break
         except FileExistsError:
             # stale-lock break: a holder that died mid-section leaves the
             # lock file forever; past the timeout horizon no live holder
-            # can still be inside (sections are sub-second), so reclaim
-            # instead of deadlocking every future runner
+            # can still be inside (sections are sub-second). Steal via
+            # atomic RENAME (exactly one stealer wins — unlink-in-place
+            # would let two waiters both pass the staleness check and the
+            # second one delete the first's freshly-created lock).
             try:
                 if time.time() - os.path.getmtime(lock) > timeout_s:
-                    os.unlink(lock)
+                    stale = f"{lock}.stale.{uuid.uuid4().hex}"
+                    os.rename(lock, stale)
+                    os.unlink(stale)
                     continue
             except OSError:
-                continue  # lock vanished or raced — retry acquisition
+                continue  # lock vanished or another stealer won — retry
             if time.time() > deadline:
                 raise TimeoutError(f"could not acquire {lock} in {timeout_s}s")
             time.sleep(poll_s)
     try:
         yield
     finally:
-        os.close(fd)
-        os.unlink(lock)
+        # release by token: if a (wrongly-presumed-stale) break replaced
+        # our lock, do NOT remove the new holder's file
+        try:
+            with open(lock) as f:
+                if f.read() == token:
+                    os.unlink(lock)
+        except OSError:
+            pass
 
 
 class _JsonStore:

@@ -84,6 +84,18 @@ def _wider(a: str, b: str) -> str | None:
     return _WIDEN.get((a, b)) or _WIDEN.get((b, a))
 
 
+def keys_eq_null_safe(alias_a: str, alias_b: str, cols: list[str]):
+    """Null-safe key-equality join condition over aliased sides. Key and
+    group columns MAY legitimately hold NULL (views grouped on nullable
+    columns); plain ``==`` silently never matches those rows, so every
+    keyed join in the engine goes through this one helper."""
+    cond = None
+    for c in cols:
+        e = F.col(f"{alias_a}.{c}").eqNullSafe(F.col(f"{alias_b}.{c}"))
+        cond = e if cond is None else (cond & e)
+    return cond
+
+
 @dataclass
 class MergeMetrics:
     batch_id: str
@@ -713,11 +725,9 @@ class MergeTable:
         # plain equality would never match them
         src = src.withColumn("_s_mark", F.lit(True))
         tgt = tgt.withColumn("_t_mark", F.lit(True))
-        cond = None
-        for c in key_cols:
-            e = F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}"))
-            cond = e if cond is None else (cond & e)
-        j = src.alias("s").join(tgt.alias("t"), cond, "full_outer")
+        j = src.alias("s").join(tgt.alias("t"),
+                                keys_eq_null_safe("s", "t", key_cols),
+                                "full_outer")
 
         s_ver = F.struct(*[F.col(f"s.{c}") for c in version_cols])
         t_ver = F.struct(*[F.col(f"t.{c}") for c in version_cols])
@@ -911,7 +921,11 @@ class MergeTable:
         the whole call is safe to re-run."""
         out: dict = {"compacted": False}
         if self.delta_depth() > compact_depth:
-            m = self.compact(f"maintain-compact:{batch_id}")
+            # id derives from the CURRENT version, not the caller's batch
+            # id: a re-run with the same id after new deltas landed must
+            # compact again (version advanced -> new id), while a re-run
+            # with no intervening commits stays a no-op
+            m = self.compact(f"maintain-compact:v{self.version}")
             out["compacted"] = not m.skipped_already_committed
             out["compact_version"] = m.version
         out["expired_versions"] = self.expire_snapshots(keep_last=keep_snapshots)
@@ -1046,11 +1060,7 @@ class MergeTable:
 
         a = side(snap_a, "_a_mark").alias("a")
         b = side(snap_b, "_b_mark").alias("b")
-        cond = None
-        for c in key_cols:
-            eq = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
-            cond = eq if cond is None else (cond & eq)
-        j = a.join(b, cond, "full_outer")
+        j = a.join(b, keys_eq_null_safe("a", "b", key_cols), "full_outer")
 
         a_p = F.col("a._a_mark").isNotNull()
         b_p = F.col("b._b_mark").isNotNull()

@@ -146,8 +146,26 @@ def test_null_group_accumulates_not_overwrites(spark, source, tmpdir_path):
     assert view.refresh()["mode"] == "incremental"
     got = {r["lang"]: (r["n_rows"], r["sum_size"]) for r in view.read().collect()}
     assert got[None] == (3, 10.0) and got["py"] == (1, 1.0)
-    # full rebuild after that must not declare the NULL group gone
-    view.state.set("view", -1)
-    view.refresh()
+    # full rebuild (via expired base) must not declare the NULL group gone
+    source.merge(df(spark, [("r", "e", 3, 0, "py", 4.0, "INSERT")]), "b3")
+    source.expire_snapshots(keep_last=1)
+    assert view.refresh()["mode"] == "full"
     got2 = {r["lang"]: (r["n_rows"], r["sum_size"]) for r in view.read().collect()}
-    assert got2[None] == (3, 10.0)
+    assert got2[None] == (3, 10.0) and got2["py"] == (2, 5.0)
+
+
+def test_crash_before_checkpoint_does_not_double_fold(spark, source, tmpdir_path):
+    """Crash between the view merge and the checkpoint write: the view
+    table's own batch-id manifest (atomic with the data) is authoritative,
+    so the next refresh resumes from the folded version instead of
+    re-applying the overlapping interval and double-counting."""
+    view = make_view(spark, source, tmpdir_path)
+    source.merge(df(spark, [("r", "a", 1, 0, "py", 5.0, "INSERT")]), "b1")
+    view.refresh()
+    v1 = source.version
+    source.merge(df(spark, [("r", "a", 2, 0, "py", 50.0, "UPDATE")]), "b2")
+    view.refresh()  # folds delta: sum_size 5 -> 50
+    view.state.set("view", v1)  # simulate the lost checkpoint write
+    source.merge(df(spark, [("r", "b", 3, 0, "py", 1.0, "INSERT")]), "b3")
+    assert view.refresh()["mode"] == "incremental"
+    assert view_state(view) == brute(source)  # 51.0, not 96.0 double-fold

@@ -319,3 +319,21 @@ def test_snapshot_isolation_for_inflight_readers(spark, tmpdir_path):
     tbl.expire_snapshots(keep_last=1)
     tbl.vacuum()
     assert [r["content"] for r in tbl.read().collect()] == ["new"]
+
+
+def test_maintain_rerun_compacts_new_deltas(spark, tmpdir_path):
+    """maintain() re-run after NEW deltas landed must compact again even
+    with an identical caller-supplied id (compact id derives from the
+    table version, not the caller's string)."""
+    tbl = make_table(spark, tmpdir_path, n_buckets=2)
+    for i in range(6):
+        tbl.merge_mor(df(spark, [("a", "x", i + 1, 0, f"v{i + 1}", "UPDATE")]),
+                      f"b{i}")
+    assert tbl.maintain("nightly", compact_depth=4)["compacted"]
+    for i in range(6):
+        tbl.merge_mor(df(spark, [("a", "x", 10 + i, 0, f"w{i}", "UPDATE")]),
+                      f"c{i}")
+    assert tbl.delta_depth() == 6
+    assert tbl.maintain("nightly", compact_depth=4)["compacted"]  # same id
+    assert tbl.delta_depth() == 0
+    assert state(tbl) == {("a", "x"): (15, "w5")}
