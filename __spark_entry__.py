@@ -45,6 +45,28 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
+def _dsum(col, scale: int = 4):
+    """Exact, order-independent group sum of a double column.
+
+    ``round(sum(double), k)`` is a hash flake: Spark's partial-agg combine
+    order varies run-to-run, so a float sum sitting within ~1e-12 of a
+    rounding boundary flips digits (the round-2 ``win_sessionize`` failure).
+    Accumulating in decimal(38,6) makes the sum exact and associative —
+    identical bits at any parallelism — then round + cast back to double.
+    Oracle side mirrors with ``round(sum(x::DECIMAL(38,6)), k)::DOUBLE``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(38,6)")), scale).cast("double")
+
+
+def _davg(col, scale: int = 6):
+    """Order-independent avg: exact decimal sum, then one double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast("decimal(38,6)")).cast("double") / F.count(c), scale
+    )
+
+
 # ---------------------------------------------------------------------------
 # CDC engine queries (SURVEY §2.1-2.3, §2.8 surfaces)
 # ---------------------------------------------------------------------------
@@ -203,7 +225,7 @@ def q_agg_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .agg(
-            F.round(F.sum("value"), 4).alias("total_value"),
+            _dsum("value").alias("total_value"),
             F.count("*").alias("n_events"),
             F.countDistinct("event_type").alias("n_types"),
         )
@@ -217,8 +239,8 @@ def q_agg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        _dsum("value").alias("sum_value"),
+        _davg("value").alias("avg_value"),
     )
 
 
@@ -230,7 +252,7 @@ def q_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        _dsum("value").alias("sum_value"),
     )
 
 
@@ -242,7 +264,7 @@ def q_agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        _davg("value").alias("avg_value"),
     )
 
 
@@ -316,7 +338,7 @@ def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         (F.max(epoch) - F.min(epoch)).alias("dur_s"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        _dsum("value").alias("total_value"),
     )
 
 
@@ -337,12 +359,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _davg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -354,13 +376,13 @@ def q_join_two_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem")
     o_agg = orders.groupBy("o_custkey").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+        _dsum("o_totalprice").alias("total_spent"),
     )
     li_agg = (
         li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .agg(_dsum("l_quantity").alias("total_qty"))
     )
     return o_agg.join(li_agg, "o_custkey", "outer").select(
         "o_custkey", "n_orders", "total_spent", "total_qty"
@@ -559,7 +581,7 @@ def q_router_multi_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select(F.explode(recs).alias("record_type"), "value")
         .groupBy("record_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n"), _dsum("value").alias("sum_value"))
     )
 
 
@@ -579,7 +601,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS/CUBE (noted built-in in SURVEY §2.5)."""
     li = _read(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty")
+        F.count("*").alias("n"), _dsum("l_quantity").alias("sum_qty")
     )
 
 
@@ -842,14 +864,30 @@ def q_sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     element-wise array mean via posexplode -> groupBy, the scalable shape)."""
     e = _spread(spark, _read(spark, sf_dir, "embeddings"))
     ex = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    # Exact decimal accumulation at both levels: float sums are combine-order
+    # dependent, and this query folds twice (per-dim avg, then norm over dims).
+    xd = F.col("x").cast("double").cast("decimal(38,12)")
     cent = ex.groupBy("label", "dim").agg(
-        F.avg(F.col("x").cast("double")).alias("c"),
+        (F.sum(xd).cast("double") / F.count("x")).alias("c"),
         F.count("*").alias("n"),
     )
+    cc = (F.col("c") * F.col("c")).cast("decimal(38,12)")
     return cent.groupBy("label").agg(
-        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 4).alias("centroid_norm"),
+        F.round(F.sqrt(F.sum(cc).cast("double")), 4).alias("centroid_norm"),
         F.max("n").alias("n_vectors"),
     )
+
+
+def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN join — per-row top-k neighbors for EVERY vector (round-2
+    VERDICT missing #2): banded-LSH candidate generation (equi-join on
+    (band, band_key) only, never all-pairs) + exact cosine re-rank +
+    row_number() <= k. Plan pinned cartesian-free in tests/test_plans.py."""
+    from ore_etl_spark.functions.similarity import knn_join
+
+    e = _spread(spark, _read(spark, sf_dir, "embeddings"))
+    return knn_join(e, k=3, dim=64, n_bands=2, band_bits=2,
+                    round_to=4).withColumnRenamed("rank", "rk")
 
 
 def _synth_media(d: DataFrame) -> DataFrame:
@@ -967,6 +1005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_percentiles": q_agg_percentiles,
     "sim_neardup_pairs": q_sim_neardup_pairs,
     "sim_label_centroid": q_sim_label_centroid,
+    "sim_knn_join": q_sim_knn_join,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_filter_pushdown": q_multimodal_filter_pushdown,
 }
@@ -1364,6 +1403,33 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.99), 4) AS p99
             FROM events GROUP BY event_type
         """,
+        "sim_knn_join": f"""
+            WITH {ann_ctes},
+            bk AS (
+              SELECT vec_id, plane // 2 AS band,
+                     string_agg(CASE WHEN dv >= 0 THEN '1' ELSE '0' END,
+                                '' ORDER BY plane) AS band_key
+              FROM dots GROUP BY vec_id, plane // 2),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id, b.vec_id AS nbr
+              FROM bk a JOIN bk b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.vec_id <> b.vec_id),
+            scored AS (
+              SELECT c.id, c.nbr,
+                     round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                                  eb.embedding::DOUBLE[]), 4)
+                       AS cos_sim
+              FROM cand c
+              JOIN embeddings ea ON ea.vec_id = c.id
+              JOIN embeddings eb ON eb.vec_id = c.nbr),
+            r AS (
+              SELECT id, nbr, cos_sim,
+                     row_number() OVER (PARTITION BY id
+                                        ORDER BY cos_sim DESC, nbr ASC) AS rk
+              FROM scored)
+            SELECT id, nbr, cos_sim, rk FROM r WHERE rk <= 3
+        """,
         "sim_lsh_ann": f"""
             WITH {ann_ctes},
             q AS (SELECT sig, embedding FROM sigs WHERE vec_id = 0)
@@ -1449,9 +1515,13 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings,
                    LATERAL unnest(generate_series(1, len(embedding))) AS d(dim)),
             cent AS (
-              SELECT label, dim, avg(x) AS c, count(*) AS n
+              SELECT label, dim,
+                     sum(x::DECIMAL(38,12))::DOUBLE / count(x) AS c,
+                     count(*) AS n
               FROM ex GROUP BY 1, 2)
-            SELECT label, round(sqrt(sum(c * c)), 4) AS centroid_norm,
+            SELECT label,
+                   round(sqrt(sum((c * c)::DECIMAL(38,12))::DOUBLE), 4)
+                     AS centroid_norm,
                    max(n) AS n_vectors
             FROM cent GROUP BY label
         """,
@@ -1563,7 +1633,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'error_rec', value FROM events WHERE event_type = 'error'
               UNION ALL
               SELECT 'user_rec', value FROM events WHERE event_type = 'signup')
-            SELECT record_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            SELECT record_type, count(*) AS n,
+                   round(sum(value::DECIMAL(38,6)), 4)::DOUBLE AS sum_value
             FROM fan GROUP BY record_type
         """,
         "anti_join_unprocessed": """
@@ -1573,7 +1644,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_cube": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
-                   round(sum(l_quantity), 4) AS sum_qty
+                   round(sum(l_quantity::DECIMAL(38,6)), 4)::DOUBLE AS sum_qty
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "win_topk_per_group": """
@@ -1585,27 +1656,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, rk FROM r WHERE rk <= 2
         """,
         "agg_top_users": """
-            SELECT user_id, round(sum(value), 4) AS total_value,
+            SELECT user_id,
+                   round(sum(value::DECIMAL(38,6)), 4)::DOUBLE AS total_value,
                    count(*) AS n_events,
                    count(DISTINCT event_type) AS n_types
             FROM events GROUP BY user_id
             ORDER BY total_value DESC, user_id ASC LIMIT 10
         """,
         "agg_by_type": """
-            SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
-                   round(avg(value), 6) AS avg_value
+            SELECT event_type, count(*) AS n,
+                   round(sum(value::DECIMAL(38,6)), 4)::DOUBLE AS sum_value,
+                   round(sum(value::DECIMAL(38,6))::DOUBLE / count(value), 6)
+                     AS avg_value
             FROM events GROUP BY event_type
         """,
         "agg_daily": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
                    count(DISTINCT user_id) AS n_users,
-                   round(sum(value), 4) AS sum_value
+                   round(sum(value::DECIMAL(38,6)), 4)::DOUBLE AS sum_value
             FROM events GROUP BY 1
         """,
         "agg_global_stats": """
             SELECT count(*) AS n, count(DISTINCT user_id) AS n_users,
                    min(event_id) AS min_id, max(event_id) AS max_id,
-                   round(avg(value), 6) AS avg_value
+                   round(sum(value::DECIMAL(38,6))::DOUBLE / count(value), 6)
+                     AS avg_value
             FROM events
         """,
         "agg_histogram": """
@@ -1651,11 +1726,11 @@ def oracle_sql() -> dict[str, str]:
             u AS (
               SELECT *, sum(new_sess) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_id
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
               FROM s)
             SELECT user_id, session_id, count(*) AS n_events,
                    (max(ep) - min(ep))::BIGINT AS dur_s,
-                   round(sum(value), 4) AS total_value
+                   round(sum(value::DECIMAL(38,6)), 4)::DOUBLE AS total_value
             FROM u GROUP BY user_id, session_id
         """,
         "sort_recent_n": """
@@ -1664,10 +1739,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 4) AS sum_qty,
-                   round(sum(l_extendedprice), 4) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   round(sum(l_quantity::DECIMAL(38,6)), 4)::DOUBLE AS sum_qty,
+                   round(sum(l_extendedprice::DECIMAL(38,6)), 4)::DOUBLE
+                     AS sum_base_price,
+                   round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6)),
+                         4)::DOUBLE AS sum_disc_price,
+                   round(sum(l_discount::DECIMAL(38,6))::DOUBLE
+                         / count(l_discount), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
@@ -1675,10 +1753,13 @@ def oracle_sql() -> dict[str, str]:
         "join_two_aggs": """
             WITH o_agg AS (
               SELECT o_custkey, count(*) AS n_orders,
-                     round(sum(o_totalprice), 4) AS total_spent
+                     round(sum(o_totalprice::DECIMAL(38,6)), 4)::DOUBLE
+                       AS total_spent
               FROM orders GROUP BY o_custkey),
             li_agg AS (
-              SELECT o.o_custkey, round(sum(l.l_quantity), 4) AS total_qty
+              SELECT o.o_custkey,
+                     round(sum(l.l_quantity::DECIMAL(38,6)), 4)::DOUBLE
+                       AS total_qty
               FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
               GROUP BY o.o_custkey)
             SELECT coalesce(o_agg.o_custkey, li_agg.o_custkey) AS o_custkey,

@@ -66,6 +66,8 @@ ANALYTICS_QUERIES = [
     # round-2 additions: CDC read side + heavier dedup/ANN probes
     "cdc_changelog", "win_sessionize", "dedup_minhash_lsh",
     "dedup_components", "sim_ivf_ann", "text_decontaminate",
+    # round-3: per-row KNN join (banded-LSH candidates + re-rank)
+    "sim_knn_join",
 ]
 
 
@@ -115,6 +117,17 @@ def warmup_apply(spark, work_dir: str) -> None:
 
 
 TRIALS = int(os.environ.get("BENCH_TRIALS", "3"))
+# commit-time footer-bounds harvest: ON by default (the headline pays for
+# the read-side file-skipping feature honestly); BENCH_HARVEST_STATS=0
+# isolates its cost when diagnosing apply-throughput regressions
+HARVEST_STATS = os.environ.get("BENCH_HARVEST_STATS", "1") != "0"
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover
+        return []
 
 
 def run_apply(spark, wal_dir: str, work_dir: str, n_events: int,
@@ -124,17 +137,27 @@ def run_apply(spark, wal_dir: str, work_dir: str, n_events: int,
     shows 2x run-to-run swings from host interference). In MOR mode the
     timed window INCLUDES a final compaction (retaining tombstones), so
     the throughput pays the full cost of a read-optimized converged table.
+
+    Noise telemetry in the artifact: every trial's wall plus the 1-min
+    load average before/after each trial — a regressed best-of-k with
+    load far above the worker count is host interference, not the engine.
     """
     best = None
+    walls = []
+    loads = []
     for t in range(max(1, trials)):
         pipe = _make_pipeline(spark, wal_dir, f"{work_dir}/{mode}{t}", mode=mode)
+        pipe.table.harvest_stats = HARVEST_STATS
         lo, hi = pipe.delivery_range()
         span = max(1, (hi - lo) // batches + 1)
+        load0 = _loadavg()
         t0 = time.time()
         pipe.run(batch_span=span)
         if mode == "mor":
             pipe.table.compact("bench-final-compact")
         wall = time.time() - t0
+        walls.append(round(wall, 3))
+        loads.append({"before": load0, "after": _loadavg()})
         n_rows = pipe.table.read().count()
         res = {"mode": mode, "wall_sec": round(wall, 3),
                "events_per_sec": round(n_events / wall, 1),
@@ -143,6 +166,9 @@ def run_apply(spark, wal_dir: str, work_dir: str, n_events: int,
         if best is None or res["events_per_sec"] > best["events_per_sec"]:
             best = res
         shutil.rmtree(f"{work_dir}/{mode}{t}", ignore_errors=True)
+    best["trial_walls"] = walls
+    best["trial_loadavg"] = loads
+    best["harvest_stats"] = HARVEST_STATS
     return best
 
 
@@ -279,6 +305,13 @@ def main():
         "sf": _sf_of(SF_DIR),
         "n_events": best["n_events"],
         "cpus": args.cpus,
+        "noise": {
+            "cow_trial_walls": cow.get("trial_walls"),
+            "mor_trial_walls": mor.get("trial_walls"),
+            "cow_trial_loadavg": cow.get("trial_loadavg"),
+            "mor_trial_loadavg": mor.get("trial_loadavg"),
+            "harvest_stats": cow.get("harvest_stats"),
+        },
     }))
 
 

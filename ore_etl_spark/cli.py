@@ -102,12 +102,9 @@ def cmd_compact(args):
 
 
 def cmd_maintain(args):
-    import uuid
-
     spark = _spark(args)
     tbl = _table(spark, args, create=False)
-    res = tbl.maintain(f"cli-{uuid.uuid4().hex[:8]}",
-                       compact_depth=args.compact_depth,
+    res = tbl.maintain(compact_depth=args.compact_depth,
                        keep_snapshots=args.keep_last)
     print(json.dumps(res))
 

@@ -209,12 +209,15 @@ class CdcApplyPipeline:
             m = self.table.merge(valid, batch_id, touched_buckets=touched,
                                  collect_metrics=self.collect_metrics)
 
-        # checkpoint AFTER commit: replay of (lo,hi] is a snapshot-level no-op
+        # checkpoint AFTER commit: replay of (lo,hi] is a snapshot-level
+        # no-op. Monotone: concurrent chunk processors finish out of order
+        # and must never drag a watermark hint backwards.
         if part_stats:
             self.checkpoints.set_many(
-                self.pipeline, {r["partition_id"]: r["hwm"] for r in part_stats}
+                self.pipeline, {r["partition_id"]: r["hwm"] for r in part_stats},
+                monotone=True,
             )
-        self.checkpoints.set(self.pipeline, seq_hi)
+        self.checkpoints.set(self.pipeline, seq_hi, monotone=True)
 
         wall = time.time() - t0
         n_in = sum(r["n_in"] for r in part_stats) if part_stats else None

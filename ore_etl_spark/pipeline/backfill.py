@@ -61,6 +61,58 @@ class BackfillRunner:
                 raise
         return done
 
+    def run_concurrent(self, n_workers: int = 4,
+                       max_chunks: int | None = None) -> list[dict]:
+        """N chunk processors in flight (reference parity: concurrency=4,
+        /root/reference/src/config/index.ts:25-29).
+
+        Each worker loops claim → apply → complete. Safety comes from the
+        layers below, not from this loop: ledger claims/updates are
+        file-locked atomic (no double-claim, no lost status), table commits
+        go through the optimistic CAS (disjoint-bucket chunk merges union
+        into the snapshot; overlapping ones recompute against the fresh
+        snapshot), and checkpoints are monotone. Spark time-slices the
+        concurrent jobs across executor slots, so this pays off when a
+        single chunk's jobs cannot saturate the cluster (small batches,
+        skewed stages, commit latency) — the reference's motivation for 4
+        concurrent chunk processors. Worker exceptions mark the chunk
+        'error' (re-claimable) and propagate after all workers drain.
+        """
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.plan()
+        done: list[dict] = []
+        claimed = 0
+        guard = threading.Lock()
+
+        def worker() -> None:
+            nonlocal claimed
+            while True:
+                with guard:
+                    if max_chunks is not None and claimed >= max_chunks:
+                        return
+                    claimed += 1
+                chunk = self.ledger.claim_next(stale_after_s=self.stale_after_s)
+                if chunk is None:
+                    return
+                try:
+                    res = self._process_chunk(chunk)
+                    self.ledger.update(chunk["chunk_id"], status="completed",
+                                       last_seq=chunk["seq_hi"])
+                    with guard:
+                        done.append(res)
+                except Exception as e:
+                    self.ledger.update(chunk["chunk_id"], status="error",
+                                       error=str(e))
+                    raise
+
+        with ThreadPoolExecutor(max_workers=max(1, n_workers)) as pool:
+            futs = [pool.submit(worker) for _ in range(max(1, n_workers))]
+            for f in futs:
+                f.result()  # propagate the first worker failure
+        return done
+
     def _process_chunk(self, chunk: dict) -> dict:
         # resume mid-chunk: start above whatever this chunk already applied
         start = max(chunk["seq_lo"] - 1, chunk["last_seq"])

@@ -121,7 +121,12 @@ class IncrementalAggView:
 
     # -------------------------------------------------------------- internal
     def _full_rebuild(self, src_ver: int) -> dict:
-        src = self.source.read()
+        # Pin to the captured snapshot: view-refresh may run in a separate
+        # process from ingest, and a source commit landing between version()
+        # and read() would make the rebuild absorb rows newer than src_ver —
+        # the next incremental refresh would then re-fold that interval and
+        # double-count. read(version=...) is the snapshot-isolation contract.
+        src = self.source.read(version=src_ver)
         agg = src.groupBy(*self.group_cols).agg(
             F.count(F.lit(1)).alias("n_rows"),
             *[F.sum(F.coalesce(F.col(c).cast("double"), F.lit(0.0)))

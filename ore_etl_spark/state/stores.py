@@ -48,10 +48,29 @@ def _file_lock(path: str, timeout_s: float = 30.0, poll_s: float = 0.005):
             # would let two waiters both pass the staleness check and the
             # second one delete the first's freshly-created lock).
             try:
-                if time.time() - os.path.getmtime(lock) > timeout_s:
+                st = os.stat(lock)
+                if time.time() - st.st_mtime > timeout_s:
                     stale = f"{lock}.stale.{uuid.uuid4().hex}"
                     os.rename(lock, stale)
-                    os.unlink(stale)
+                    # TOCTOU guard: rename is by NAME — between our
+                    # staleness check and the rename, another waiter may
+                    # have completed its own steal and a new live holder
+                    # re-created the lock file. Compare (inode, mtime_ns)
+                    # with what we observed stale (inode alone can be
+                    # recycled by the FS straight after an unlink): if we
+                    # grabbed a different incarnation, hand it back (link
+                    # is atomic and refuses to clobber an even-newer lock).
+                    try:
+                        st2 = os.stat(stale)
+                        if (st2.st_ino == st.st_ino
+                                and st2.st_mtime_ns == st.st_mtime_ns):
+                            os.unlink(stale)
+                        else:
+                            with contextlib.suppress(FileExistsError):
+                                os.link(stale, lock)
+                            os.unlink(stale)
+                    except OSError:
+                        pass
                     continue
             except OSError:
                 continue  # lock vanished or another stealer won — retry
@@ -100,19 +119,32 @@ class CheckpointStore(_JsonStore):
         return self._read().get(pipeline, {}).get(str(partition), {}).get("hwm", -1)
 
     def set(self, pipeline: str, hwm: int, partition: str | int = GLOBAL,
-            extra: dict | None = None) -> None:
-        data = self._read()
-        p = data.setdefault(pipeline, {})
-        p[str(partition)] = {"hwm": hwm, "updated_at": time.time(), **(extra or {})}
-        self._write(data)
+            extra: dict | None = None, monotone: bool = False) -> None:
+        """``monotone=True``: keep max(existing, hwm) — high-watermark
+        semantics for concurrent writers whose batches complete out of
+        order (chunk 3 finishing before chunk 2 must not drag the hint
+        backwards). File-locked read-modify-write either way so parallel
+        chunk processors never lose each other's partitions."""
+        with _file_lock(self.path):
+            data = self._read()
+            p = data.setdefault(pipeline, {})
+            if monotone:
+                hwm = max(hwm, p.get(str(partition), {}).get("hwm", hwm))
+            p[str(partition)] = {"hwm": hwm, "updated_at": time.time(),
+                                 **(extra or {})}
+            self._write(data)
 
-    def set_many(self, pipeline: str, hwms: dict) -> None:
-        data = self._read()
-        p = data.setdefault(pipeline, {})
-        now = time.time()
-        for part, hwm in hwms.items():
-            p[str(part)] = {"hwm": int(hwm), "updated_at": now}
-        self._write(data)
+    def set_many(self, pipeline: str, hwms: dict, monotone: bool = False) -> None:
+        with _file_lock(self.path):
+            data = self._read()
+            p = data.setdefault(pipeline, {})
+            now = time.time()
+            for part, hwm in hwms.items():
+                hwm = int(hwm)
+                if monotone:
+                    hwm = max(hwm, p.get(str(part), {}).get("hwm", hwm))
+                p[str(part)] = {"hwm": hwm, "updated_at": now}
+            self._write(data)
 
 
 class ChunkLedger(_JsonStore):
@@ -180,16 +212,19 @@ class ChunkLedger(_JsonStore):
 
     def update(self, chunk_id: str, status: str | None = None,
                last_seq: int | None = None, error: str | None = None) -> None:
-        data = self._read()
-        c = data["chunks"][chunk_id]
-        if status is not None:
-            c["status"] = status
-        if last_seq is not None:
-            c["last_seq"] = int(last_seq)
-        if error is not None:
-            c["error"] = error
-        c["updated_at"] = time.time()
-        self._write(data)
+        # file-locked: concurrent runners updating DIFFERENT chunks must
+        # not lose each other's writes in the read-modify-write
+        with _file_lock(self.path):
+            data = self._read()
+            c = data["chunks"][chunk_id]
+            if status is not None:
+                c["status"] = status
+            if last_seq is not None:
+                c["last_seq"] = int(last_seq)
+            if error is not None:
+                c["error"] = error
+            c["updated_at"] = time.time()
+            self._write(data)
 
     def chunks(self) -> list[dict]:
         return sorted(self._read().get("chunks", {}).values(),

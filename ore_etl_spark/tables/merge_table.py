@@ -44,8 +44,23 @@ snapshot-pointer renames. The design mirrors Iceberg's public semantics:
   their original schema and aligned (missing cols → NULL, narrow types →
   CAST) to the current schema at scan time.
 
-Single-writer assumed (one driver loop per table), as in the reference's
-one-process-per-pipeline model.
+**Concurrency**: optimistic multi-writer (Iceberg optimistic-concurrency
+parity; the reference runs 4 concurrent chunk processors,
+/root/reference/src/etl/transaction-transformer.ts:109-131). Every commit
+is computed against a parent snapshot and published through a CAS on the
+``CURRENT`` pointer (``_cas_commit``): under a short file lock the pointer
+is re-read, and if another writer advanced it the commit REBASES — delta
+(MOR) appends always union in; COW bucket replacements union in iff no
+intervening commit touched the same buckets (proved by manifest diff);
+anything else raises ``CommitConflict`` and the caller recomputes against
+the fresh snapshot (bounded retries). Writers never hold the lock during
+Spark jobs — only for the O(manifest) pointer swap.
+
+Two maintenance calls still assume a quiet table: ``vacuum`` (it would
+delete a concurrent in-flight writer's not-yet-committed files as
+"aborted") and ``compact(retain_tombstones=False)`` (GC compaction's
+out-of-order-horizon precondition is violated by definition while writers
+are live). Run those from the maintenance window.
 """
 
 from __future__ import annotations
@@ -62,6 +77,28 @@ from pyspark.sql import types as T
 
 _BUCKET_COL = "_bucket"
 _DELETED_COL = "_deleted"
+# A conflict is only raised when a PEER writer committed during our attempt
+# (classic optimistic concurrency: every retry implies system-wide
+# progress), so the retries a writer can need is bounded by its peers'
+# total commits in flight — 16 covers a 4-worker backfill where every
+# chunk overlaps every bucket, with jittered backoff de-synchronizing the
+# recompute races.
+_MAX_COMMIT_RETRIES = 16
+
+
+def _conflict_backoff(attempt: int) -> None:
+    import random
+    import time as _time
+
+    _time.sleep(min(2.0, 0.05 * (2 ** min(attempt, 5))) * (0.5 + random.random()))
+
+
+class CommitConflict(Exception):
+    """An optimistic commit could not be rebased onto a concurrently
+    advanced snapshot (overlapping buckets, diverged schema evolution,
+    bucket-spec change, or an expired intervening snapshot). Public commit
+    methods catch this and recompute against the fresh snapshot up to
+    ``_MAX_COMMIT_RETRIES`` times before letting it propagate."""
 
 # widening lattice: src type -> acceptable wider table type (and vice versa
 # when the batch brings the wider type, the table widens to it)
@@ -115,6 +152,11 @@ class MergeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # commit-time footer-bounds harvest (read-side file skipping).
+        # Driver-side O(files) metadata I/O per commit — a write-heavy
+        # pipeline that never range-reads can turn it off per-process;
+        # refs without bounds are simply never skipped (always correct).
+        self.harvest_stats = True
 
     # ---------------------------------------------------------------- setup
     @classmethod
@@ -316,15 +358,48 @@ class MergeTable:
         kept = [r for r in snap["refs"] if keep(r)]
         return kept, len(snap["refs"])
 
+    @staticmethod
+    def _intersects(b: list, lo, hi) -> bool:
+        mn, mx = b
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+        return True
+
+    def _expand_file_refs(self, snap: dict, refs: list[dict], col: str,
+                          lo, hi) -> list[dict]:
+        """File-level pruning inside multi-file buckets: replace a kept ref
+        whose ``file_bounds`` are known by pseudo-refs for only the files
+        intersecting [lo, hi]. Same LWW-safety rule as ``prune_refs``:
+        buckets with unresolved deltas are read whole. This is where
+        sort-within-bucket compaction pays off — sorted, range-split files
+        have disjoint bounds, so a narrow range opens O(1) files per
+        bucket instead of all of them."""
+        delta_buckets = {r["bucket"] for r in snap["refs"] if r.get("delta")}
+        out = []
+        for r in refs:
+            fb = r.get("file_bounds")
+            if not fb or r["bucket"] in delta_buckets:
+                out.append(r)
+                continue
+            for fn, b in sorted(fb.items()):
+                # a file with no harvested bounds for `col` can't be proved
+                # disjoint — keep it
+                if col not in b or self._intersects(b[col], lo, hi):
+                    out.append({**r, "path": os.path.join(r["path"], fn)})
+        return out
+
     def read_where(self, col: str, lo=None, hi=None, with_deleted: bool = False) -> DataFrame:
         """Range read with manifest-level file skipping on `col` (must be in
-        the table's ``stats_cols``). Files whose footer bounds are disjoint
-        from [lo, hi] are never opened — on top of parquet row-group
-        pushdown, this skips whole files from the driver without a job.
-        The residual predicate is still applied (bounds are necessary, not
-        sufficient)."""
+        the table's ``stats_cols``). Refs whose footer bounds are disjoint
+        from [lo, hi] are never opened, and inside multi-file buckets
+        (sorted compaction) individual files are pruned too — on top of
+        parquet row-group pushdown. The residual predicate is still applied
+        (bounds are necessary, not sufficient)."""
         snap = self.snapshot()
         refs, _ = self.prune_refs(snap, col, lo, hi)
+        refs = self._expand_file_refs(snap, refs, col, lo, hi)
         raw = self._read_refs(snap, refs, with_deleted=True)
         df = self._resolve(snap, raw, with_deleted)
         if lo is not None:
@@ -356,7 +431,10 @@ class MergeTable:
         for kv in key_values:
             one = None
             for c, v in zip(key_cols, kv):
-                e = F.col(c) == F.lit(v)
+                # engine invariant: every keyed comparison is null-safe —
+                # view tables group on nullable columns, so a NULL key
+                # component must match stored NULLs, not drop the row
+                e = F.col(c).eqNullSafe(F.lit(v))
                 one = e if one is None else (one & e)
             cond = one if cond is None else (cond | one)
         return df.filter(cond)
@@ -498,7 +576,33 @@ class MergeTable:
         picks the same winner the conditional MERGE would have kept, and a
         tombstone with the greatest version wins the same way. Exactly-once
         batch-id manifests are shared with the COW path.
+
+        Multi-writer safe: delta appends REBASE onto any concurrently
+        advanced snapshot unconditionally (read-time LWW resolves
+        overlaps) — only diverged schema evolution forces a recompute.
         """
+        for attempt in range(_MAX_COMMIT_RETRIES):
+            try:
+                return self._merge_mor_attempt(
+                    source, batch_id, op_col, delete_value, evolve_schema,
+                    dedup_in_batch, bucket_shuffle)
+            except CommitConflict:
+                _conflict_backoff(attempt)
+                continue
+        raise CommitConflict(
+            f"merge_mor({batch_id!r}) exhausted {_MAX_COMMIT_RETRIES} "
+            "commit retries")
+
+    def _merge_mor_attempt(
+        self,
+        source: DataFrame,
+        batch_id: str,
+        op_col: str | None,
+        delete_value: str,
+        evolve_schema: bool,
+        dedup_in_batch: bool,
+        bucket_shuffle: bool,
+    ) -> MergeMetrics:
         snap = self.snapshot()
         if self.is_committed(batch_id, snap):
             return MergeMetrics(batch_id=batch_id, version=snap["version"],
@@ -530,8 +634,7 @@ class MergeTable:
         )
         src = src.withColumn(_BUCKET_COL, self.bucket_expr(snap))
 
-        new_ver = snap["version"] + 1
-        rel_dir = os.path.join("data", f"v{new_ver}")
+        rel_dir = self._attempt_dir(snap)
         out_dir = os.path.join(self.root, rel_dir)
         if bucket_shuffle:
             n_parts = min(max(snap["n_buckets"], 1), 256)
@@ -541,19 +644,22 @@ class MergeTable:
         written = self._list_written(out_dir, rel_dir)
 
         # delta semantics: APPEND refs (never drop prior refs)
-        refs = list(snap["refs"]) + self._make_refs(snap, written, delta=True)
-        new_snap = {**snap, **self._commit_fields(snap, batch_id), "refs": refs}
-        self._write_snapshot(new_snap)
-        m = MergeMetrics(batch_id=batch_id, version=new_ver,
+        new_snap, skipped = self._cas_commit(
+            snap, batch_id, self._make_refs(snap, written, delta=True), None)
+        if skipped:
+            return MergeMetrics(batch_id=batch_id, version=new_snap["version"],
+                                skipped_already_committed=True)
+        m = MergeMetrics(batch_id=batch_id, version=new_snap["version"],
                          n_buckets_touched=len(written))
-        self._append_lineage(self._lineage_rows(batch_id, new_ver, m))
+        self._append_lineage(self._lineage_rows(batch_id, m.version, m))
         return m
 
     def has_deltas(self, snap: dict | None = None) -> bool:
         snap = snap or self.snapshot()
         return any(r.get("delta") for r in snap["refs"])
 
-    def compact(self, batch_id: str, retain_tombstones: bool = True) -> MergeMetrics:
+    def compact(self, batch_id: str, retain_tombstones: bool = True,
+                rows_per_file: int | None = None) -> MergeMetrics:
         """Fold delta files into one resolved file set per bucket (MOR ->
         COW base). Idempotent by batch_id.
 
@@ -568,7 +674,26 @@ class MergeTable:
         out-of-order event older than a delete still loses LWW against the
         retained tombstone. Pass ``False`` only when no event older than
         the tombstones can still arrive (out-of-order horizon passed) —
-        that is the GC/expiry compaction."""
+        that is the GC/expiry compaction.
+
+        Rewritten buckets are SORTED by ``stats_cols`` (Iceberg sort-order
+        parity): sorted data gives parquet row-group pruning real bite,
+        and with ``rows_per_file`` set, each bucket splits into several
+        range-disjoint files whose per-file footer bounds let
+        ``read_where`` open O(1) files per bucket for a narrow range."""
+        for attempt in range(_MAX_COMMIT_RETRIES):
+            try:
+                return self._compact_attempt(batch_id, retain_tombstones,
+                                             rows_per_file)
+            except CommitConflict:
+                _conflict_backoff(attempt)
+                continue
+        raise CommitConflict(
+            f"compact({batch_id!r}) exhausted {_MAX_COMMIT_RETRIES} "
+            "commit retries")
+
+    def _compact_attempt(self, batch_id: str, retain_tombstones: bool,
+                         rows_per_file: int | None = None) -> MergeMetrics:
         snap = self.snapshot()
         if self.is_committed(batch_id, snap):
             return MergeMetrics(batch_id=batch_id, version=snap["version"],
@@ -578,9 +703,9 @@ class MergeTable:
         else:
             dirty = {r["bucket"] for r in snap["refs"]}
         if not dirty:
-            new_snap = self._advance(snap, batch_id, {}, set())
-            self._write_snapshot(new_snap)
-            return MergeMetrics(batch_id=batch_id, version=new_snap["version"])
+            new_snap, skipped = self._cas_commit(snap, batch_id, [], set())
+            return MergeMetrics(batch_id=batch_id, version=new_snap["version"],
+                                skipped_already_committed=skipped)
         refs = [r for r in snap["refs"] if r["bucket"] in dirty]
         resolved = self._read_refs(snap, refs, with_deleted=True)
         from ..operators.lww import dedupe_lww
@@ -589,17 +714,27 @@ class MergeTable:
         if not retain_tombstones:
             resolved = resolved.filter(~F.col(_DELETED_COL))
         resolved = resolved.withColumn(_BUCKET_COL, self.bucket_expr(snap))
-        new_ver = snap["version"] + 1
-        rel_dir = os.path.join("data", f"v{new_ver}")
+        rel_dir = self._attempt_dir(snap)
         out_dir = os.path.join(self.root, rel_dir)
-        (resolved.repartition(min(max(len(dirty), 1), 256), F.col(_BUCKET_COL))
-                 .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir))
+        out = resolved.repartition(min(max(len(dirty), 1), 256),
+                                   F.col(_BUCKET_COL))
+        sort_cols = [c for c in (snap.get("stats_cols") or [])
+                     if c in resolved.columns]
+        if sort_cols:
+            out = out.sortWithinPartitions(_BUCKET_COL, *sort_cols)
+        writer = out.write.partitionBy(_BUCKET_COL).mode("overwrite")
+        if rows_per_file:
+            writer = writer.option("maxRecordsPerFile", int(rows_per_file))
+        writer.parquet(out_dir)
         written = self._list_written(out_dir, rel_dir)
-        new_snap = self._advance(snap, batch_id, written, dirty)
-        self._write_snapshot(new_snap)
-        m = MergeMetrics(batch_id=batch_id, version=new_ver,
+        new_snap, skipped = self._cas_commit(
+            snap, batch_id, self._make_refs(snap, written), dirty)
+        if skipped:
+            return MergeMetrics(batch_id=batch_id, version=new_snap["version"],
+                                skipped_already_committed=True)
+        m = MergeMetrics(batch_id=batch_id, version=new_snap["version"],
                          n_buckets_touched=len(written))
-        self._append_lineage(self._lineage_rows(batch_id, new_ver, m))
+        self._append_lineage(self._lineage_rows(batch_id, m.version, m))
         return m
 
     def rebucket(self, n_buckets: int, batch_id: str) -> MergeMetrics:
@@ -612,7 +747,20 @@ class MergeTable:
         only requires one LWW-resolved rewrite — the snapshot carries the
         new count, every later merge/read derives buckets from it, and
         time travel to pre-rebucket versions still resolves through those
-        snapshots' own n_buckets. Idempotent by batch_id."""
+        snapshots' own n_buckets. Idempotent by batch_id. A global
+        restructure commits EXCLUSIVELY — it never rebases; racing with any
+        concurrent commit recomputes from the fresh snapshot."""
+        for attempt in range(_MAX_COMMIT_RETRIES):
+            try:
+                return self._rebucket_attempt(n_buckets, batch_id)
+            except CommitConflict:
+                _conflict_backoff(attempt)
+                continue
+        raise CommitConflict(
+            f"rebucket({batch_id!r}) exhausted {_MAX_COMMIT_RETRIES} "
+            "commit retries")
+
+    def _rebucket_attempt(self, n_buckets: int, batch_id: str) -> MergeMetrics:
         snap = self.snapshot()
         if self.is_committed(batch_id, snap):
             return MergeMetrics(batch_id=batch_id, version=snap["version"],
@@ -627,17 +775,24 @@ class MergeTable:
         old_buckets = {r["bucket"] for r in snap["refs"]}
         snap = {**snap, "n_buckets": int(n_buckets)}
         resolved = resolved.withColumn(_BUCKET_COL, self.bucket_expr(snap))
-        new_ver = snap["version"] + 1
-        rel_dir = os.path.join("data", f"v{new_ver}")
+        rel_dir = self._attempt_dir(snap)
         out_dir = os.path.join(self.root, rel_dir)
-        (resolved.repartition(min(int(n_buckets), 256), F.col(_BUCKET_COL))
-                 .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir))
+        out = resolved.repartition(min(int(n_buckets), 256), F.col(_BUCKET_COL))
+        sort_cols = [c for c in (snap.get("stats_cols") or [])
+                     if c in resolved.columns]
+        if sort_cols:  # Iceberg sort-order parity on full rewrites too
+            out = out.sortWithinPartitions(_BUCKET_COL, *sort_cols)
+        out.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir)
         written = self._list_written(out_dir, rel_dir)
-        new_snap = self._advance(snap, batch_id, written, old_buckets)
-        self._write_snapshot(new_snap)
-        m = MergeMetrics(batch_id=batch_id, version=new_ver,
+        new_snap, skipped = self._cas_commit(
+            snap, batch_id, self._make_refs(snap, written), old_buckets,
+            exclusive=True)
+        if skipped:
+            return MergeMetrics(batch_id=batch_id, version=new_snap["version"],
+                                skipped_already_committed=True)
+        m = MergeMetrics(batch_id=batch_id, version=new_snap["version"],
                          n_buckets_touched=len(written))
-        self._append_lineage(self._lineage_rows(batch_id, new_ver, m))
+        self._append_lineage(self._lineage_rows(batch_id, m.version, m))
         return m
 
     def merge(
@@ -664,7 +819,32 @@ class MergeTable:
         the old refs for that bucket are retained — silent key duplication
         that read() would not resolve (no delta flag). The write-back below
         verifies this and raises before the snapshot flips.
+
+        Multi-writer safe: the commit is published via ``_cas_commit``; on
+        a bucket-overlap conflict the whole merge recomputes against the
+        fresh snapshot (bounded retries).
         """
+        for attempt in range(_MAX_COMMIT_RETRIES):
+            try:
+                return self._merge_attempt(
+                    source, batch_id, op_col, delete_value, evolve_schema,
+                    collect_metrics, touched_buckets)
+            except CommitConflict:
+                _conflict_backoff(attempt)
+                continue
+        raise CommitConflict(
+            f"merge({batch_id!r}) exhausted {_MAX_COMMIT_RETRIES} commit retries")
+
+    def _merge_attempt(
+        self,
+        source: DataFrame,
+        batch_id: str,
+        op_col: str | None,
+        delete_value: str,
+        evolve_schema: bool,
+        collect_metrics: bool,
+        touched_buckets: list[int] | None,
+    ) -> MergeMetrics:
         snap = self.snapshot()
         if self.is_committed(batch_id, snap):
             return MergeMetrics(batch_id=batch_id, version=snap["version"],
@@ -706,9 +886,9 @@ class MergeTable:
                 for r in src.select(_BUCKET_COL).distinct().collect()
             )
         if not touched:
-            new_snap = self._advance(snap, batch_id, {}, set())
-            self._write_snapshot(new_snap)
-            return MergeMetrics(batch_id=batch_id, version=new_snap["version"])
+            new_snap, skipped = self._cas_commit(snap, batch_id, [], set())
+            return MergeMetrics(batch_id=batch_id, version=new_snap["version"],
+                                skipped_already_committed=skipped)
 
         tgt_refs = [r for r in snap["refs"] if r["bucket"] in set(touched)]
         tgt = self._read_refs(snap, tgt_refs, with_deleted=True)
@@ -777,8 +957,9 @@ class MergeTable:
             merged = merged.drop("_action")
 
         # --- write new files for touched buckets --------------------------
-        new_ver = snap["version"] + 1
-        rel_dir = os.path.join("data", f"v{new_ver}")
+        # attempt-unique directory: racing writers from the same parent must
+        # never collide on a path (the final version is assigned at commit)
+        rel_dir = self._attempt_dir(snap)
         out_dir = os.path.join(self.root, rel_dir)
         (merged.repartition(max(1, min(len(touched), 200)), F.col(_BUCKET_COL))
                .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir))
@@ -790,18 +971,21 @@ class MergeTable:
         unexpected = set(written) - set(touched)
         if unexpected:
             # abort BEFORE the pointer flip: the old snapshot stays current,
-            # the orphan v{N} files are dead weight only (GC'able)
+            # the orphan attempt files are dead weight only (GC'able)
             raise RuntimeError(
                 f"merge wrote buckets {sorted(unexpected)} outside the caller's "
                 "touched_buckets — it must be a superset of the source's buckets "
                 "(retained old refs for those buckets would silently duplicate keys)"
             )
 
-        new_snap = self._advance(snap, batch_id, written, set(touched))
-        self._write_snapshot(new_snap)
-        metrics.version = new_ver
+        new_snap, skipped = self._cas_commit(
+            snap, batch_id, self._make_refs(snap, written), set(touched))
+        if skipped:
+            return MergeMetrics(batch_id=batch_id, version=new_snap["version"],
+                                skipped_already_committed=True)
+        metrics.version = new_snap["version"]
         if collect_metrics:
-            lin = self._lineage_rows(batch_id, new_ver, metrics)
+            lin = self._lineage_rows(batch_id, metrics.version, metrics)
             self._append_lineage(lin)
         return metrics
 
@@ -809,6 +993,140 @@ class MergeTable:
         refs = [r for r in snap["refs"] if r["bucket"] not in touched]
         refs += self._make_refs(snap, written)
         return {**snap, **self._commit_fields(snap, batch_id), "refs": refs}
+
+    # ------------------------------------------------ optimistic concurrency
+    @staticmethod
+    def _merged_refs(base_refs: list[dict], new_refs: list[dict],
+                     replace_buckets: set | None) -> list[dict]:
+        if replace_buckets is None:  # delta append — never drop prior refs
+            return list(base_refs) + new_refs
+        return [r for r in base_refs
+                if r["bucket"] not in replace_buckets] + new_refs
+
+    def _intervening_touched(self, parent: dict, cur: dict) -> set:
+        """Buckets whose ref set changed in any commit after ``parent`` up
+        to ``cur`` (manifest diff per version step). Raises CommitConflict
+        if a needed snapshot was expired mid-flight — disjointness can no
+        longer be proved, so the caller must recompute."""
+        touched: set = set()
+        prev = self._refs_by_bucket(parent)
+        try:
+            for v in range(parent["version"] + 1, cur["version"] + 1):
+                s = cur if v == cur["version"] else self.snapshot_at(v)
+                nxt = self._refs_by_bucket(s)
+                for b in set(prev) | set(nxt):
+                    if prev.get(b) != nxt.get(b):
+                        touched.add(b)
+                prev = nxt
+        except FileNotFoundError as e:
+            raise CommitConflict(
+                "intervening snapshot expired; cannot prove bucket "
+                "disjointness for rebase"
+            ) from e
+        return touched
+
+    def _cas_commit(
+        self,
+        ours: dict,
+        batch_id: str,
+        new_refs: list[dict],
+        replace_buckets: set | None,
+        exclusive: bool = False,
+    ) -> tuple[dict, bool]:
+        """Atomically publish a commit computed against parent snapshot
+        ``ours`` (the caller's copy, possibly carrying schema evolution).
+        Returns ``(snapshot, replay_skipped)``.
+
+        Under the table lock the CURRENT pointer is re-read:
+
+        - parent unchanged → plain advance (fast path);
+        - advanced → REBASE onto the newer snapshot when provably safe:
+          delta appends always union in; COW replacements union in iff no
+          intervening commit touched ``replace_buckets`` and schema
+          evolution did not diverge; otherwise ``CommitConflict``;
+        - ``exclusive`` commits (rebucket — a global restructure) never
+          rebase.
+
+        The lock covers only the O(manifest) read-merge-write — data files
+        were already written outside it, under an attempt-unique directory
+        so racing writers never collide on paths.
+        """
+        from ..state.stores import _file_lock
+
+        with _file_lock(os.path.join(self.root, "CURRENT")):
+            cur = self.snapshot()
+            if batch_id in cur["applied_batch_ids"]:
+                return cur, True  # another writer already applied this batch
+            if cur["version"] == ours["version"]:
+                new_snap = {
+                    **ours,
+                    **self._commit_fields(ours, batch_id),
+                    "refs": self._merged_refs(ours["refs"], new_refs,
+                                              replace_buckets),
+                }
+                self._write_snapshot(new_snap)
+                return new_snap, False
+
+            # ---- rebase path --------------------------------------------
+            if exclusive:
+                raise CommitConflict(
+                    f"exclusive commit {batch_id!r} raced with a concurrent "
+                    f"writer (parent v{ours['version']} != current "
+                    f"v{cur['version']})"
+                )
+            if cur.get("n_buckets") != ours.get("n_buckets"):
+                raise CommitConflict(
+                    "bucket spec changed underneath this commit")
+            try:
+                orig = self.snapshot_at(ours["version"])
+            except FileNotFoundError as e:
+                raise CommitConflict("parent snapshot expired") from e
+
+            # schema-map three-way merge: ids WE added must not collide
+            # with different definitions another writer registered
+            merged_schemas = dict(cur["schemas"])
+            for k, v in ours["schemas"].items():
+                if k not in orig["schemas"]:
+                    if merged_schemas.get(k, v) != v:
+                        raise CommitConflict(
+                            "concurrent schema evolution diverged "
+                            f"(schema id {k})")
+                    merged_schemas[k] = v
+            we_evolved = ours["current_schema_id"] != orig["current_schema_id"]
+            cur_evolved = cur["current_schema_id"] != orig["current_schema_id"]
+            if (we_evolved and cur_evolved
+                    and merged_schemas[ours["current_schema_id"]]
+                    != merged_schemas[cur["current_schema_id"]]):
+                raise CommitConflict(
+                    "both writers evolved the schema differently")
+            current_sid = (ours["current_schema_id"] if we_evolved
+                           else cur["current_schema_id"])
+
+            if replace_buckets is not None:
+                inter = self._intervening_touched(orig, cur)
+                clash = inter & set(replace_buckets)
+                if clash:
+                    raise CommitConflict(
+                        f"buckets {sorted(clash)[:8]} were modified by a "
+                        "concurrent commit; rewrite is stale")
+            new_snap = {
+                **cur,
+                **self._commit_fields(cur, batch_id),
+                "schemas": merged_schemas,
+                "current_schema_id": current_sid,
+                "refs": self._merged_refs(cur["refs"], new_refs,
+                                          replace_buckets),
+            }
+            self._write_snapshot(new_snap)
+            return new_snap, False
+
+    def _attempt_dir(self, snap: dict) -> str:
+        """Attempt-unique data directory. Named after the version the
+        writer EXPECTS (debugging aid only — the real version is assigned
+        at commit, and a rebase may land higher) plus a random token so
+        concurrent writers from the same parent never collide on paths."""
+        return os.path.join(
+            "data", f"v{snap['version'] + 1}_{uuid.uuid4().hex[:8]}")
 
     def _list_written(self, out_dir: str, rel_dir: str) -> dict:
         """Map bucket id -> relative bucket-dir path for a finished write."""
@@ -821,7 +1139,7 @@ class MergeTable:
 
     def _make_refs(self, snap: dict, written: dict, delta: bool = False) -> list[dict]:
         sid = snap["current_schema_id"]
-        cols = snap.get("stats_cols") or []
+        cols = (snap.get("stats_cols") or []) if self.harvest_stats else []
         items = sorted(written.items())
         all_bounds: dict[int, dict] = {}
         if cols and items:
@@ -839,22 +1157,32 @@ class MergeTable:
             r: dict = {"path": rel, "bucket": b, "schema_id": sid}
             if delta:
                 r["delta"] = True
-            if all_bounds.get(b):
-                r["bounds"] = all_bounds[b]
+            bd = all_bounds.get(b) or {}
+            if bd.get("agg"):
+                r["bounds"] = bd["agg"]
+                # per-file bounds only matter when a bucket holds several
+                # files (post sorted-split compaction) — single-file refs
+                # would just duplicate the aggregate
+                if len(bd["files"]) > 1:
+                    r["file_bounds"] = bd["files"]
             refs.append(r)
         return refs
 
     def _ref_bounds(self, rel: str, cols: list[str]) -> dict:
-        """Per-ref min/max for `cols`, harvested from parquet footers on the
-        driver (Iceberg manifest lower/upper_bounds parity). O(files)
+        """Min/max for `cols` harvested from parquet footers on the driver
+        (Iceberg manifest lower/upper_bounds parity). O(files)
         metadata-only reads, no Spark job — at 100 TB this is the manifest
-        write that makes read-side file skipping free."""
+        write that makes read-side file skipping free.
+
+        Returns ``{"agg": {col: [lo, hi]}, "files": {fname: {col: [lo,
+        hi]}}}`` — the aggregate prunes whole refs; the per-file map lets
+        ``read_where`` prune individual files inside a multi-file bucket
+        (the payoff of sort-within-bucket compaction)."""
         try:
             import pyarrow.parquet as pq
         except ImportError:  # pragma: no cover - pyarrow is baked in
-            return {}
-        lo: dict = {}
-        hi: dict = {}
+            return {"agg": {}, "files": {}}
+        per_file: dict = {}
         ok = set(cols)
         full = os.path.join(self.root, rel)
         for fname in sorted(os.listdir(full)):
@@ -862,23 +1190,38 @@ class MergeTable:
                 continue
             md = pq.ParquetFile(os.path.join(full, fname)).metadata
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            fb: dict = {}
             for c in list(ok):
                 ci = idx.get(c)
                 if ci is None:
                     ok.discard(c)
                     continue
+                flo = fhi = None
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(ci).statistics
                     if st is None or not st.has_min_max:
                         ok.discard(c)
+                        flo = None
                         break
                     mn, mx = st.min, st.max
                     if not isinstance(mn, (bool, int, float, str)):
                         ok.discard(c)  # non-JSON-portable stats type
+                        flo = None
                         break
-                    lo[c] = mn if c not in lo else min(lo[c], mn)
-                    hi[c] = mx if c not in hi else max(hi[c], mx)
-        return {c: [lo[c], hi[c]] for c in ok if c in lo}
+                    flo = mn if flo is None else min(flo, mn)
+                    fhi = mx if fhi is None else max(fhi, mx)
+                if flo is not None:
+                    fb[c] = [flo, fhi]
+            per_file[fname] = fb
+        agg = {
+            c: [min(fb[c][0] for fb in per_file.values()),
+                max(fb[c][1] for fb in per_file.values())]
+            for c in ok
+            if per_file and all(c in fb for fb in per_file.values())
+        }
+        files = {fn: {c: b for c, b in fb.items() if c in agg}
+                 for fn, fb in per_file.items()}
+        return {"agg": agg, "files": files}
 
     # ------------------------------------------------------------- lineage
     def _lineage_rows(self, batch_id: str, version: int, m: MergeMetrics):
@@ -909,7 +1252,6 @@ class MergeTable:
 
     def maintain(
         self,
-        batch_id: str,
         compact_depth: int = 4,
         keep_snapshots: int = 10,
         vacuum_files: bool = True,
@@ -944,6 +1286,18 @@ class MergeTable:
         them in passing. Untouched buckets keep their existing file refs —
         a repair touching 1% of keys rewrites ~1% of the table, not all of
         it. Idempotent by batch_id."""
+        for attempt in range(_MAX_COMMIT_RETRIES):
+            try:
+                return self._update_where_attempt(condition, assignments, batch_id)
+            except CommitConflict:
+                _conflict_backoff(attempt)
+                continue
+        raise CommitConflict(
+            f"update_where({batch_id!r}) exhausted {_MAX_COMMIT_RETRIES} "
+            "commit retries")
+
+    def _update_where_attempt(self, condition, assignments: dict,
+                              batch_id: str) -> MergeMetrics:
         snap = self.snapshot()
         if self.is_committed(batch_id, snap):
             return MergeMetrics(batch_id=batch_id, version=snap["version"],
@@ -960,9 +1314,9 @@ class MergeTable:
         touched = {r[_BUCKET_COL] for r in hits}
         n_fixed = sum(r["count"] for r in hits)
         if not touched:
-            new_snap = self._advance(snap, batch_id, {}, set())
-            self._write_snapshot(new_snap)
-            return MergeMetrics(batch_id=batch_id, version=new_snap["version"])
+            new_snap, skipped = self._cas_commit(snap, batch_id, [], set())
+            return MergeMetrics(batch_id=batch_id, version=new_snap["version"],
+                                skipped_already_committed=skipped)
 
         # job 2: rewrite only the touched buckets (LWW-resolved, so the new
         # file can replace base + delta refs for those buckets)
@@ -977,17 +1331,19 @@ class MergeTable:
             fixed = fixed.withColumn(
                 col, F.when(condition & ~F.col(_DELETED_COL), expr).otherwise(F.col(col))
             )
-        new_ver = snap["version"] + 1
-        rel_dir = os.path.join("data", f"v{new_ver}")
+        rel_dir = self._attempt_dir(snap)
         out_dir = os.path.join(self.root, rel_dir)
         (fixed.repartition(max(1, min(len(touched), 200)), F.col(_BUCKET_COL))
               .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir))
         written = self._list_written(out_dir, rel_dir)
-        new_snap = self._advance(snap, batch_id, written, touched)
-        self._write_snapshot(new_snap)
-        m = MergeMetrics(batch_id=batch_id, version=new_ver,
+        new_snap, skipped = self._cas_commit(
+            snap, batch_id, self._make_refs(snap, written), touched)
+        if skipped:
+            return MergeMetrics(batch_id=batch_id, version=new_snap["version"],
+                                skipped_already_committed=True)
+        m = MergeMetrics(batch_id=batch_id, version=new_snap["version"],
                          n_updated=n_fixed, n_buckets_touched=len(written))
-        self._append_lineage(self._lineage_rows(batch_id, new_ver, m))
+        self._append_lineage(self._lineage_rows(batch_id, m.version, m))
         return m
 
     # ----------------------------------------------------------- changelog

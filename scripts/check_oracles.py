@@ -24,15 +24,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
-    """Normalize a cell to a comparable string (driver-hash approximation)."""
+    """Normalize a cell to a comparable string.
+
+    Bit-exact for floats (repr), matching the strictness of the driver's
+    value hash — the round-2 6-decimal rounding here masked the
+    win_sessionize partial-agg-combine-order flake the driver caught.
+    """
     if v is None:
         return "<null>"
     if isinstance(v, float):
         if math.isnan(v):
             return "<null>"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{round(v, 6):.6f}"
+        if v == 0.0:  # collapse -0.0 / +0.0
+            return "0.0"
+        return repr(v)
     return str(v)
 
 

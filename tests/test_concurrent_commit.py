@@ -1,0 +1,182 @@
+"""Optimistic multi-writer commits (round-3: Iceberg optimistic-concurrency
+parity; the reference runs 4 concurrent chunk processors,
+/root/reference/src/etl/transaction-transformer.ts:109-131).
+
+Covered here:
+- two racing COW merges from the same parent: both land, no lost update
+  (disjoint buckets union in; overlapping buckets recompute via
+  CommitConflict retry) and the result equals the serial application;
+- racing MOR delta appends always union (read-time LWW resolves);
+- the same batch_id submitted by two writers applies exactly once;
+- concurrent ADDITIVE schema evolution from both writers merges;
+- 4-worker concurrent backfill converges to the serial replay oracle.
+"""
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import pyspark.sql.types as T
+import pytest
+
+from ore_etl_spark.datagen.wal import generate_wal, replay_oracle
+from ore_etl_spark.pipeline.apply import CdcApplyPipeline, target_schema
+from ore_etl_spark.pipeline.backfill import BackfillRunner
+from ore_etl_spark.tables.merge_table import MergeTable
+
+SCHEMA = T.StructType([
+    T.StructField("repo", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("commit_seq", T.LongType()),
+    T.StructField("event_seq", T.LongType()),
+    T.StructField("content", T.StringType()),
+])
+
+
+def make_table(spark, tmpdir_path, n_buckets=4):
+    return MergeTable.create(
+        spark, f"{tmpdir_path}/tbl", SCHEMA,
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=n_buckets,
+    )
+
+
+def df(spark, rows, extra_field=None):
+    fields = list(SCHEMA.fields) + [T.StructField("op", T.StringType())]
+    if extra_field is not None:
+        fields.append(extra_field)
+    return spark.createDataFrame(rows, T.StructType(fields))
+
+
+def state(tbl):
+    return {(r["repo"], r["path"]): (r["commit_seq"], r["content"])
+            for r in tbl.read().collect()}
+
+
+def _race(*thunks):
+    """Run thunks concurrently, released together; re-raise first error."""
+    barrier = threading.Barrier(len(thunks))
+
+    def wrap(fn):
+        def run():
+            barrier.wait()
+            return fn()
+        return run
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futs = [ex.submit(wrap(t)) for t in thunks]
+        return [f.result() for f in futs]
+
+
+def test_racing_cow_merges_both_land(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path)
+    keys = [("a", "x"), ("b", "y"), ("c", "z"), ("d", "w")]
+    m1, m2 = _race(
+        lambda: tbl.merge(df(spark, [(r, p, 1, 0, f"one-{r}", "INSERT")
+                                     for r, p in keys[:2]]), "w1"),
+        lambda: tbl.merge(df(spark, [(r, p, 1, 0, f"two-{r}", "INSERT")
+                                     for r, p in keys[2:]]), "w2"),
+    )
+    assert not m1.skipped_already_committed
+    assert not m2.skipped_already_committed
+    assert {m1.version, m2.version} == {1, 2}  # serialized commits
+    assert state(tbl) == {
+        ("a", "x"): (1, "one-a"), ("b", "y"): (1, "one-b"),
+        ("c", "z"): (1, "two-c"), ("d", "w"): (1, "two-d"),
+    }
+    snap = tbl.snapshot()
+    assert snap["version"] == 2 and snap["n_batches_total"] == 2
+
+
+def test_racing_cow_merges_same_key_converge_to_serial(spark, tmpdir_path):
+    """Same bucket from both writers: the loser's rebase detects the
+    overlap, recomputes against the fresh snapshot, and conditional LWW
+    picks the same winner a serial application would."""
+    tbl = make_table(spark, tmpdir_path)
+    _race(
+        lambda: tbl.merge(df(spark, [("a", "x", 5, 0, "v5", "UPDATE")]), "w1"),
+        lambda: tbl.merge(df(spark, [("a", "x", 9, 0, "v9", "UPDATE")]), "w2"),
+    )
+    assert state(tbl) == {("a", "x"): (9, "v9")}
+    assert tbl.snapshot()["version"] == 2
+
+
+def test_racing_mor_appends_union_and_resolve(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path)
+    _race(
+        lambda: tbl.merge_mor(df(spark, [("a", "x", 3, 0, "old", "UPDATE")]), "w1"),
+        lambda: tbl.merge_mor(df(spark, [("a", "x", 7, 0, "new", "UPDATE")]), "w2"),
+    )
+    snap = tbl.snapshot()
+    assert snap["version"] == 2
+    assert sum(1 for r in snap["refs"] if r.get("delta")) == 2  # both landed
+    assert state(tbl) == {("a", "x"): (7, "new")}  # read-time LWW
+
+
+def test_same_batch_id_applies_exactly_once(spark, tmpdir_path):
+    tbl = make_table(spark, tmpdir_path)
+    src = [("a", "x", 1, 0, "once", "INSERT")]
+    m1, m2 = _race(
+        lambda: tbl.merge(df(spark, src), "dup"),
+        lambda: tbl.merge(df(spark, src), "dup"),
+    )
+    assert sorted([m1.skipped_already_committed,
+                   m2.skipped_already_committed]) == [False, True]
+    snap = tbl.snapshot()
+    assert snap["version"] == 1 and snap["n_batches_total"] == 1
+    assert state(tbl) == {("a", "x"): (1, "once")}
+
+
+def test_concurrent_additive_schema_evolution_merges(spark, tmpdir_path):
+    """Writer A adds col_a, writer B adds col_b: whoever rebases recomputes
+    against the evolved snapshot, so the final schema carries BOTH."""
+    tbl = make_table(spark, tmpdir_path)
+    fa = T.StructField("col_a", T.LongType())
+    fb = T.StructField("col_b", T.StringType())
+    _race(
+        lambda: tbl.merge(
+            df(spark, [("a", "x", 1, 0, "ra", "INSERT", 11)], fa), "wa"),
+        lambda: tbl.merge(
+            df(spark, [("b", "y", 1, 0, "rb", "INSERT", "bee")], fb), "wb"),
+    )
+    names = set(tbl.schema().fieldNames())
+    assert {"col_a", "col_b"} <= names
+    rows = {(r["repo"], r["path"]): (r["col_a"], r["col_b"])
+            for r in tbl.read().collect()}
+    assert rows == {("a", "x"): (11, None), ("b", "y"): (None, "bee")}
+
+
+def test_concurrent_backfill_converges_to_oracle(spark, tmpdir_path):
+    """4 chunk workers (reference concurrency=4, src/config/index.ts:25-29)
+    over a file-locked ledger + CAS commits: the final table equals the
+    pandas replay oracle, every chunk completes, no chunk double-applies."""
+    import pandas as pd
+
+    wal_path = f"{tmpdir_path}/events"
+    generate_wal(spark, n_keys=300, n_partitions=4).write.parquet(wal_path)
+    tbl = MergeTable.create(
+        spark, f"{tmpdir_path}/target", target_schema(),
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=8,
+    )
+    pipe = CdcApplyPipeline(spark, wal_path, tbl, f"{tmpdir_path}/state")
+    lo, hi = pipe.delivery_range()
+    chunk_size = max(1, (hi - lo) // 7)  # ~8 chunks across 4 workers
+    bf = BackfillRunner(pipe, f"{tmpdir_path}/state/chunks.json", chunk_size,
+                        stale_after_s=None)  # live peers: never steal
+    done = bf.run_concurrent(n_workers=4)
+    chunks = bf.ledger.chunks()
+    assert all(c["status"] == "completed" for c in chunks)
+    assert len(done) == len(chunks)  # each chunk processed exactly once
+
+    exp = replay_oracle(spark.read.parquet(wal_path).toPandas())
+    got = (
+        tbl.read()
+        .select("repo", "path", "commit", "lang", "commit_seq", "event_seq",
+                "content_sha256", "content_len")
+        .toPandas()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    exp = exp[got.columns.tolist()].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # re-run: fully backfilled ledger is a no-op
+    assert bf.run_concurrent(n_workers=4) == []

@@ -164,3 +164,14 @@ def test_changes_join_is_not_nested_loop(spark, tmp_path_factory):
     plan = plan_of(tbl.changes(tbl.version - 1))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_join_is_never_all_pairs(spark):
+    """KNN join must stay blocked: candidates come from an equi-join on
+    (band, band_key) — a cartesian/nested-loop here is N^2 at scale."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_sim_knn_join(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -275,3 +275,45 @@ def test_quarantine_recovers_mid_swap_crash(spark, tmpdir_path):
     os.rename(f"{p.quarantine_dir}.next.tmp", f"{p.quarantine_dir}.next")
     assert p.quarantine().count() == n_q  # recovered, nothing lost
     assert os.path.exists(p.quarantine_dir)
+
+
+def test_lock_steal_toctou_keeps_fresh_holder(tmpdir_path, monkeypatch):
+    """TOCTOU guard on the stale-lock steal: between the staleness check
+    and the rename, another waiter can complete its own steal and a NEW
+    live holder can recreate the lock. The first stealer's rename then
+    grabs the fresh incarnation (rename is by name, not inode) — it must
+    detect the inode mismatch and hand the lock back, not unlink it."""
+    import os
+    import time
+
+    from ore_etl_spark.state import stores
+
+    path = f"{tmpdir_path}/ledger.json"
+    lock = path + ".lock"
+    open(lock, "w").close()
+    past = time.time() - 3600
+    os.utime(lock, (past, past))  # genuinely stale
+    real_rename = os.rename
+
+    def racy_rename(src, dst):
+        if src == lock:
+            # simulate the race: another stealer already removed the stale
+            # lock and a live holder re-created it (fresh mtime, new inode)
+            os.unlink(lock)
+            with open(lock, "w") as f:
+                f.write("fresh-holder-token")
+            # future mtime so the fresh lock can't age past the staleness
+            # horizon while the waiter spins toward its deadline
+            fut = time.time() + 60
+            os.utime(lock, (fut, fut))
+            monkeypatch.setattr(stores.os, "rename", real_rename)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(stores.os, "rename", racy_rename)
+    with pytest.raises(TimeoutError):
+        with stores._file_lock(path, timeout_s=1.0):
+            pass
+    # the live holder's lock survives, content intact
+    assert os.path.exists(lock)
+    with open(lock) as f:
+        assert f.read() == "fresh-holder-token"

@@ -294,12 +294,12 @@ def test_maintain_runs_compact_expire_vacuum(spark, tmpdir_path):
     assert tbl.delta_depth() == 6
     # keep only the post-compaction snapshot so the folded delta dirs are
     # actually unreferenced (keeping N>1 retains them via older manifests)
-    res = tbl.maintain("m1", compact_depth=4, keep_snapshots=1)
+    res = tbl.maintain(compact_depth=4, keep_snapshots=1)
     assert res["compacted"] and tbl.delta_depth() == 0
     assert res["expired_versions"] and res["removed_dirs"] > 0
     assert state(tbl) == {("a", "x"): (6, "v6")}
     # idempotent re-run: nothing left to do
-    res2 = tbl.maintain("m1", compact_depth=4, keep_snapshots=1)
+    res2 = tbl.maintain(compact_depth=4, keep_snapshots=1)
     assert not res2["compacted"] and res2["removed_dirs"] == 0
     assert state(tbl) == {("a", "x"): (6, "v6")}
 
@@ -322,18 +322,60 @@ def test_snapshot_isolation_for_inflight_readers(spark, tmpdir_path):
 
 
 def test_maintain_rerun_compacts_new_deltas(spark, tmpdir_path):
-    """maintain() re-run after NEW deltas landed must compact again even
-    with an identical caller-supplied id (compact id derives from the
-    table version, not the caller's string)."""
+    """maintain() re-run after NEW deltas landed must compact again (the
+    compact id derives from the table version, so each run is idempotent
+    against the state it saw, not against a caller-supplied string)."""
     tbl = make_table(spark, tmpdir_path, n_buckets=2)
     for i in range(6):
         tbl.merge_mor(df(spark, [("a", "x", i + 1, 0, f"v{i + 1}", "UPDATE")]),
                       f"b{i}")
-    assert tbl.maintain("nightly", compact_depth=4)["compacted"]
+    assert tbl.maintain(compact_depth=4)["compacted"]
     for i in range(6):
         tbl.merge_mor(df(spark, [("a", "x", 10 + i, 0, f"w{i}", "UPDATE")]),
                       f"c{i}")
     assert tbl.delta_depth() == 6
-    assert tbl.maintain("nightly", compact_depth=4)["compacted"]  # same id
+    assert tbl.maintain(compact_depth=4)["compacted"]
     assert tbl.delta_depth() == 0
     assert state(tbl) == {("a", "x"): (15, "w5")}
+
+
+def test_lookup_is_null_safe_on_key_components(spark, tmpdir_path):
+    """Engine invariant: every keyed comparison is null-safe. A lookup for
+    a key tuple containing NULL (legal for view tables grouped on nullable
+    columns) must return the stored NULL-keyed row, not silently nothing."""
+    tbl = make_table(spark, tmpdir_path, n_buckets=4)
+    tbl.merge(df(spark, [("a", None, 1, 0, "null-path", "INSERT"),
+                         ("a", "x", 1, 0, "x-path", "INSERT")]), "b1")
+    got = tbl.lookup([("a", None)]).collect()
+    assert [(r["repo"], r["path"], r["content"]) for r in got] == [
+        ("a", None, "null-path")]
+    both = tbl.lookup([("a", None), ("a", "x")]).collect()
+    assert {r["content"] for r in both} == {"null-path", "x-path"}
+
+
+def test_sorted_compaction_enables_file_skipping(spark, tmpdir_path):
+    """Round-3: sort-within-bucket + range-split compaction makes the
+    footer bounds actually prune. After compact(rows_per_file=...) each
+    bucket holds several commit_seq-disjoint files; a narrow read_where
+    must open strictly fewer files than the bucket total, and return the
+    same rows as a plain filtered read."""
+    tbl = make_table(spark, tmpdir_path, n_buckets=2)
+    for b in range(4):  # MOR loads -> delta refs -> compact folds them
+        rows = [(f"r{i % 7}", f"p{i}", i + 1, 0, f"v{i}", "INSERT")
+                for i in range(b * 100, (b + 1) * 100)]
+        tbl.merge_mor(df(spark, rows), f"load{b}")
+    tbl.compact("sorted-compact", rows_per_file=50)
+    snap = tbl.snapshot()
+    assert all("file_bounds" in r for r in snap["refs"]), snap["refs"]
+    total_files = sum(len(r["file_bounds"]) for r in snap["refs"])
+    assert total_files >= 8  # the split actually happened
+
+    narrow = tbl.read_where("commit_seq", lo=100, hi=120)
+    opened = narrow.inputFiles()
+    assert 0 < len(opened) < total_files / 2, (len(opened), total_files)
+    got = sorted((r["repo"], r["path"], r["commit_seq"])
+                 for r in narrow.collect())
+    exp = sorted((r["repo"], r["path"], r["commit_seq"])
+                 for r in tbl.read().filter(
+                     "commit_seq between 100 and 120").collect())
+    assert got == exp and len(got) == 21
