@@ -71,8 +71,15 @@ def cmd_backfill(args):
     pipe = CdcApplyPipeline(spark, args.events, _table(spark, args),
                             args.state, mode=args.mode,
                             compact_every=args.compact_every)
-    bf = BackfillRunner(pipe, f"{args.state}/chunks.json", args.chunk_size)
-    done = bf.run()
+    # single worker: any 'running' chunk is a crash leftover (steal at 0s).
+    # multi-worker: live peers hold 'running' chunks, but a chunk whose
+    # heartbeat went quiet for --stale-after seconds is a crashed worker's
+    # — stealable, or a kill -9'd run would strand its ranges forever.
+    stale = 0.0 if args.workers <= 1 else args.stale_after
+    bf = BackfillRunner(pipe, f"{args.state}/chunks.json", args.chunk_size,
+                        stale_after_s=stale)
+    done = (bf.run_concurrent(n_workers=args.workers)
+            if args.workers > 1 else bf.run())
     print(json.dumps({"chunks_completed": len(done),
                       "table_version": pipe.table.version}))
 
@@ -96,7 +103,8 @@ def cmd_compact(args):
     spark = _spark(args)
     tbl = _table(spark, args, create=False)
     m = tbl.compact(f"cli-compact-{uuid.uuid4().hex[:8]}",
-                    retain_tombstones=not args.expire)
+                    retain_tombstones=not args.expire,
+                    rows_per_file=args.rows_per_file)
     print(json.dumps({"version": m.version,
                       "n_buckets": m.n_buckets_touched}))
 
@@ -113,7 +121,7 @@ def cmd_vacuum(args):
     spark = _spark(args)
     tbl = _table(spark, args, create=False)
     expired = tbl.expire_snapshots(keep_last=args.keep_last)
-    stats = tbl.vacuum()
+    stats = tbl.vacuum(min_age_s=args.min_age_s)
     print(json.dumps({"expired_versions": expired, **stats}))
 
 
@@ -197,6 +205,14 @@ def main(argv=None):
         p.add_argument("--compact-every", type=int, default=None)
         if name == "backfill":
             p.add_argument("--chunk-size", type=int, default=1000000)
+            p.add_argument("--workers", type=int, default=1,
+                           help="concurrent chunk processors (reference "
+                                "parity: 4); claims are ledger-atomic, "
+                                "commits optimistic-CAS")
+            p.add_argument("--stale-after", type=float, default=600.0,
+                           help="with --workers>1: steal a 'running' chunk "
+                                "whose heartbeat is older than this many "
+                                "seconds (crashed-worker recovery)")
         else:
             p.add_argument("--poll-interval", type=float, default=5.0)
             p.add_argument("--max-polls", type=int, default=None)
@@ -208,6 +224,9 @@ def main(argv=None):
     c.add_argument("--buckets", type=int, default=64)
     c.add_argument("--expire", action="store_true",
                    help="drop tombstones (only after the out-of-order horizon)")
+    c.add_argument("--rows-per-file", type=int, default=None,
+                   help="range-split each sorted bucket into files of at "
+                        "most this many rows (per-file bounds pruning)")
     c.set_defaults(fn=cmd_compact)
 
     mt = sub.add_parser("maintain")
@@ -221,6 +240,9 @@ def main(argv=None):
     v.add_argument("--table", required=True)
     v.add_argument("--buckets", type=int, default=64)
     v.add_argument("--keep-last", type=int, default=10)
+    v.add_argument("--min-age-s", type=float, default=3600.0,
+                   help="keep unreferenced dirs younger than this "
+                        "(protects concurrent writers' in-flight attempts)")
     v.set_defaults(fn=cmd_vacuum)
 
     ch = sub.add_parser("changes")

@@ -141,7 +141,7 @@ class CdcApplyPipeline:
         return decoded, part_stats
 
     def run_batch(self, seq_lo: int, seq_hi: int, batch_id: str | None = None,
-                  stats=None) -> dict:
+                  stats=None, update_global_hwm: bool = True) -> dict:
         """Apply one (lo, hi] delivery range. Idempotent by batch_id.
 
         Exactly TWO Spark jobs per batch (plus one only when quarantine is
@@ -217,7 +217,13 @@ class CdcApplyPipeline:
                 self.pipeline, {r["partition_id"]: r["hwm"] for r in part_stats},
                 monotone=True,
             )
-        self.checkpoints.set(self.pipeline, seq_hi, monotone=True)
+        # The GLOBAL hwm means "everything <= hwm is applied" — run()
+        # resumes above it. Out-of-order chunk completion breaks that
+        # contiguity, so the concurrent backfill passes False here and
+        # advances the global hwm itself to the contiguous-completed
+        # prefix of its ledger (never past a gap).
+        if update_global_hwm:
+            self.checkpoints.set(self.pipeline, seq_hi, monotone=True)
 
         wall = time.time() - t0
         n_in = sum(r["n_in"] for r in part_stats) if part_stats else None

@@ -55,11 +55,30 @@ class BackfillRunner:
                 res = self._process_chunk(chunk)
                 self.ledger.update(chunk["chunk_id"], status="completed",
                                    last_seq=chunk["seq_hi"])
+                self._advance_global_hwm()
                 done.append(res)
             except Exception as e:  # chunk goes back to error -> re-claimable
                 self.ledger.update(chunk["chunk_id"], status="error", error=str(e))
                 raise
         return done
+
+    def _advance_global_hwm(self) -> None:
+        """Publish the CONTIGUOUS-completed prefix as the pipeline's global
+        watermark. The global hwm's contract is "everything <= hwm is
+        applied" (``CdcApplyPipeline.run`` resumes above it); with chunks
+        completing out of order, advancing it per-batch to any finished
+        chunk's seq_hi would let a later incremental run skip the gap a
+        crashed worker left behind. Chunk batches therefore never touch
+        the global hwm (``update_global_hwm=False``) — only this prefix
+        walk does, and it stops at the first non-completed chunk."""
+        hwm = None
+        for c in self.ledger.chunks():  # sorted by seq_lo, ranges contiguous
+            if c["status"] == "completed":
+                hwm = c["seq_hi"]
+            else:
+                break
+        if hwm is not None:
+            self.pipe.checkpoints.set(self.pipe.pipeline, hwm, monotone=True)
 
     def run_concurrent(self, n_workers: int = 4,
                        max_chunks: int | None = None) -> list[dict]:
@@ -92,14 +111,17 @@ class BackfillRunner:
                 with guard:
                     if max_chunks is not None and claimed >= max_chunks:
                         return
-                    claimed += 1
+                    claimed += 1  # reserve a slot BEFORE claiming (no over-claim)
                 chunk = self.ledger.claim_next(stale_after_s=self.stale_after_s)
                 if chunk is None:
-                    return
+                    with guard:
+                        claimed -= 1  # release: a None claim must not burn
+                    return            # the budget other workers still need
                 try:
                     res = self._process_chunk(chunk)
                     self.ledger.update(chunk["chunk_id"], status="completed",
                                        last_seq=chunk["seq_hi"])
+                    self._advance_global_hwm()
                     with guard:
                         done.append(res)
                 except Exception as e:
@@ -122,7 +144,8 @@ class BackfillRunner:
         cur = start
         while cur < hi:
             nxt = min(cur + span, hi)
-            results.append(self.pipe.run_batch(cur, nxt))
+            results.append(self.pipe.run_batch(cur, nxt,
+                                               update_global_hwm=False))
             self.ledger.update(chunk["chunk_id"], last_seq=nxt)
             cur = nxt
         return {"chunk_id": chunk["chunk_id"], "batches": results}

@@ -126,7 +126,17 @@ class IncrementalAggView:
         # and read() would make the rebuild absorb rows newer than src_ver —
         # the next incremental refresh would then re-fold that interval and
         # double-count. read(version=...) is the snapshot-isolation contract.
-        src = self.source.read(version=src_ver)
+        # If that snapshot expires under fast concurrent writers before we
+        # open it, re-capture the current version and pin to THAT (still a
+        # consistent snapshot; the recorded src_ver moves forward with it).
+        for _ in range(3):
+            try:
+                src = self.source.read(version=src_ver)
+                break
+            except FileNotFoundError:
+                src_ver = self.source.version
+        else:
+            src = self.source.read(version=src_ver)
         agg = src.groupBy(*self.group_cols).agg(
             F.count(F.lit(1)).alias("n_rows"),
             *[F.sum(F.coalesce(F.col(c).cast("double"), F.lit(0.0)))

@@ -43,34 +43,41 @@ def _file_lock(path: str, timeout_s: float = 30.0, poll_s: float = 0.005):
         except FileExistsError:
             # stale-lock break: a holder that died mid-section leaves the
             # lock file forever; past the timeout horizon no live holder
-            # can still be inside (sections are sub-second). Steal via
-            # atomic RENAME (exactly one stealer wins — unlink-in-place
-            # would let two waiters both pass the staleness check and the
-            # second one delete the first's freshly-created lock).
+            # can still be inside (sections are sub-second). The steal must
+            # never leave the lock NAME free while a live holder exists
+            # (rename-away-then-restore does, letting a third waiter's
+            # O_EXCL slip in), so instead: serialize stealers behind a
+            # steal-mutex, re-verify under it that the SAME incarnation
+            # (inode + mtime_ns) is still past the horizon, then unlink in
+            # place. A live holder's lock always has a fresh mtime and its
+            # creation requires the name to be free — under the mutex no
+            # one else can remove the stale file first — so the verified
+            # unlink provably removes only the dead holder's file.
             try:
                 st = os.stat(lock)
                 if time.time() - st.st_mtime > timeout_s:
-                    stale = f"{lock}.stale.{uuid.uuid4().hex}"
-                    os.rename(lock, stale)
-                    # TOCTOU guard: rename is by NAME — between our
-                    # staleness check and the rename, another waiter may
-                    # have completed its own steal and a new live holder
-                    # re-created the lock file. Compare (inode, mtime_ns)
-                    # with what we observed stale (inode alone can be
-                    # recycled by the FS straight after an unlink): if we
-                    # grabbed a different incarnation, hand it back (link
-                    # is atomic and refuses to clobber an even-newer lock).
+                    smx = lock + ".steal"
                     try:
-                        st2 = os.stat(stale)
+                        sfd = os.open(smx, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    except FileExistsError:
+                        # another stealer is at it; clear ITS corpse if the
+                        # mutex itself went stale (stealer died mid-steal)
+                        with contextlib.suppress(OSError):
+                            if time.time() - os.path.getmtime(smx) > timeout_s:
+                                os.unlink(smx)
+                        continue
+                    try:
+                        st2 = os.stat(lock)
                         if (st2.st_ino == st.st_ino
-                                and st2.st_mtime_ns == st.st_mtime_ns):
-                            os.unlink(stale)
-                        else:
-                            with contextlib.suppress(FileExistsError):
-                                os.link(stale, lock)
-                            os.unlink(stale)
+                                and st2.st_mtime_ns == st.st_mtime_ns
+                                and time.time() - st2.st_mtime > timeout_s):
+                            os.unlink(lock)
                     except OSError:
                         pass
+                    finally:
+                        os.close(sfd)
+                        with contextlib.suppress(OSError):
+                            os.unlink(smx)
                     continue
             except OSError:
                 continue  # lock vanished or another stealer won — retry

@@ -346,14 +346,8 @@ class MergeTable:
             if r["bucket"] in delta_buckets:
                 return True
             b = (r.get("bounds") or {}).get(col)
-            if not b:
-                return True  # no stats -> cannot prove disjoint
-            mn, mx = b
-            if lo is not None and mx < lo:
-                return False
-            if hi is not None and mn > hi:
-                return False
-            return True
+            # no stats -> cannot prove disjoint -> keep
+            return b is None or self._intersects(b, lo, hi)
 
         kept = [r for r in snap["refs"] if keep(r)]
         return kept, len(snap["refs"])
@@ -581,17 +575,11 @@ class MergeTable:
         advanced snapshot unconditionally (read-time LWW resolves
         overlaps) — only diverged schema evolution forces a recompute.
         """
-        for attempt in range(_MAX_COMMIT_RETRIES):
-            try:
-                return self._merge_mor_attempt(
-                    source, batch_id, op_col, delete_value, evolve_schema,
-                    dedup_in_batch, bucket_shuffle)
-            except CommitConflict:
-                _conflict_backoff(attempt)
-                continue
-        raise CommitConflict(
-            f"merge_mor({batch_id!r}) exhausted {_MAX_COMMIT_RETRIES} "
-            "commit retries")
+        return self._commit_with_retries(
+            f"merge_mor({batch_id!r})",
+            lambda: self._merge_mor_attempt(
+                source, batch_id, op_col, delete_value, evolve_schema,
+                dedup_in_batch, bucket_shuffle))
 
     def _merge_mor_attempt(
         self,
@@ -681,16 +669,10 @@ class MergeTable:
         and with ``rows_per_file`` set, each bucket splits into several
         range-disjoint files whose per-file footer bounds let
         ``read_where`` open O(1) files per bucket for a narrow range."""
-        for attempt in range(_MAX_COMMIT_RETRIES):
-            try:
-                return self._compact_attempt(batch_id, retain_tombstones,
-                                             rows_per_file)
-            except CommitConflict:
-                _conflict_backoff(attempt)
-                continue
-        raise CommitConflict(
-            f"compact({batch_id!r}) exhausted {_MAX_COMMIT_RETRIES} "
-            "commit retries")
+        return self._commit_with_retries(
+            f"compact({batch_id!r})",
+            lambda: self._compact_attempt(batch_id, retain_tombstones,
+                                          rows_per_file))
 
     def _compact_attempt(self, batch_id: str, retain_tombstones: bool,
                          rows_per_file: int | None = None) -> MergeMetrics:
@@ -750,15 +732,9 @@ class MergeTable:
         snapshots' own n_buckets. Idempotent by batch_id. A global
         restructure commits EXCLUSIVELY — it never rebases; racing with any
         concurrent commit recomputes from the fresh snapshot."""
-        for attempt in range(_MAX_COMMIT_RETRIES):
-            try:
-                return self._rebucket_attempt(n_buckets, batch_id)
-            except CommitConflict:
-                _conflict_backoff(attempt)
-                continue
-        raise CommitConflict(
-            f"rebucket({batch_id!r}) exhausted {_MAX_COMMIT_RETRIES} "
-            "commit retries")
+        return self._commit_with_retries(
+            f"rebucket({batch_id!r})",
+            lambda: self._rebucket_attempt(n_buckets, batch_id))
 
     def _rebucket_attempt(self, n_buckets: int, batch_id: str) -> MergeMetrics:
         snap = self.snapshot()
@@ -824,16 +800,11 @@ class MergeTable:
         a bucket-overlap conflict the whole merge recomputes against the
         fresh snapshot (bounded retries).
         """
-        for attempt in range(_MAX_COMMIT_RETRIES):
-            try:
-                return self._merge_attempt(
-                    source, batch_id, op_col, delete_value, evolve_schema,
-                    collect_metrics, touched_buckets)
-            except CommitConflict:
-                _conflict_backoff(attempt)
-                continue
-        raise CommitConflict(
-            f"merge({batch_id!r}) exhausted {_MAX_COMMIT_RETRIES} commit retries")
+        return self._commit_with_retries(
+            f"merge({batch_id!r})",
+            lambda: self._merge_attempt(
+                source, batch_id, op_col, delete_value, evolve_schema,
+                collect_metrics, touched_buckets))
 
     def _merge_attempt(
         self,
@@ -989,10 +960,23 @@ class MergeTable:
             self._append_lineage(lin)
         return metrics
 
-    def _advance(self, snap: dict, batch_id: str, written: dict, touched: set) -> dict:
-        refs = [r for r in snap["refs"] if r["bucket"] not in touched]
-        refs += self._make_refs(snap, written)
-        return {**snap, **self._commit_fields(snap, batch_id), "refs": refs}
+
+    def _commit_with_retries(self, label: str, attempt_fn):
+        """Run a commit attempt, recomputing on CommitConflict (each
+        conflict means a peer committed — bounded, system-wide-progressing
+        retries) with jittered backoff between attempts. Re-raises with
+        the LAST conflict's reason chained for diagnosability."""
+        last: CommitConflict | None = None
+        for attempt in range(_MAX_COMMIT_RETRIES):
+            try:
+                return attempt_fn()
+            except CommitConflict as e:
+                last = e
+                if attempt < _MAX_COMMIT_RETRIES - 1:
+                    _conflict_backoff(attempt)
+        raise CommitConflict(
+            f"{label} exhausted {_MAX_COMMIT_RETRIES} commit retries"
+        ) from last
 
     # ------------------------------------------------ optimistic concurrency
     @staticmethod
@@ -1074,6 +1058,14 @@ class MergeTable:
                     f"writer (parent v{ours['version']} != current "
                     f"v{cur['version']})"
                 )
+            if cur["version"] - ours["version"] > 32:
+                # the disjointness proof walks every intervening snapshot
+                # WHILE HOLDING the commit lock — bound that driver I/O.
+                # A writer this far behind recomputes from fresh instead
+                # (cheaper overall than an O(versions × refs) lock hold).
+                raise CommitConflict(
+                    f"{cur['version'] - ours['version']} commits behind; "
+                    "recompute instead of a long locked rebase walk")
             if cur.get("n_buckets") != ours.get("n_buckets"):
                 raise CommitConflict(
                     "bucket spec changed underneath this commit")
@@ -1255,12 +1247,15 @@ class MergeTable:
         compact_depth: int = 4,
         keep_snapshots: int = 10,
         vacuum_files: bool = True,
+        vacuum_min_age_s: float = 3600.0,
     ) -> dict:
         """One-call table maintenance (the nightly job a 10^10-row table
         needs): compact if any bucket's delta chain exceeds
         ``compact_depth``, expire snapshots beyond ``keep_snapshots``, and
-        vacuum unreferenced files. Each step is independently idempotent;
-        the whole call is safe to re-run."""
+        vacuum unreferenced files older than ``vacuum_min_age_s`` (the
+        grace period that protects concurrent writers' in-flight attempt
+        dirs). Each step is independently idempotent; the whole call is
+        safe to re-run."""
         out: dict = {"compacted": False}
         if self.delta_depth() > compact_depth:
             # id derives from the CURRENT version, not the caller's batch
@@ -1272,7 +1267,7 @@ class MergeTable:
             out["compact_version"] = m.version
         out["expired_versions"] = self.expire_snapshots(keep_last=keep_snapshots)
         if vacuum_files:
-            out.update(self.vacuum())
+            out.update(self.vacuum(min_age_s=vacuum_min_age_s))
         return out
 
     # -------------------------------------------------------------- repair
@@ -1286,15 +1281,10 @@ class MergeTable:
         them in passing. Untouched buckets keep their existing file refs —
         a repair touching 1% of keys rewrites ~1% of the table, not all of
         it. Idempotent by batch_id."""
-        for attempt in range(_MAX_COMMIT_RETRIES):
-            try:
-                return self._update_where_attempt(condition, assignments, batch_id)
-            except CommitConflict:
-                _conflict_backoff(attempt)
-                continue
-        raise CommitConflict(
-            f"update_where({batch_id!r}) exhausted {_MAX_COMMIT_RETRIES} "
-            "commit retries")
+        return self._commit_with_retries(
+            f"update_where({batch_id!r})",
+            lambda: self._update_where_attempt(condition, assignments,
+                                               batch_id))
 
     def _update_where_attempt(self, condition, assignments: dict,
                               batch_id: str) -> MergeMetrics:
@@ -1474,12 +1464,20 @@ class MergeTable:
                 expired.append(v)
         return expired
 
-    def vacuum(self) -> dict:
+    def vacuum(self, min_age_s: float = 3600.0) -> dict:
         """Delete data directories referenced by NO remaining snapshot:
         both files orphaned by ``expire_snapshots`` and files from aborted
         commits whose pointer never flipped (e.g. a merge that failed the
-        touched-bucket superset guard). Safe under the single-writer model:
-        every live reader resolves refs through a retained snapshot."""
+        touched-bucket superset guard).
+
+        ``min_age_s``: unreferenced directories younger than this are kept
+        — a CONCURRENT writer's attempt dir looks identical to an aborted
+        commit until its CAS lands, so the grace period must exceed the
+        longest in-flight write (Iceberg's
+        ``remove_orphan_files(older_than)`` contract). Tests pass 0 for
+        immediate reclamation on quiet tables."""
+        import time as _time
+
         sdir = os.path.join(self.root, "snapshots")
         referenced: set[str] = set()
         for name in os.listdir(sdir):
@@ -1488,7 +1486,9 @@ class MergeTable:
                     for r in json.load(f)["refs"]:
                         referenced.add(r["path"])
         removed_dirs = 0
+        kept_young = 0
         freed_bytes = 0
+        now = _time.time()
         data_root = os.path.join(self.root, "data")
         for vdir in sorted(os.listdir(data_root)):
             vpath = os.path.join(data_root, vdir)
@@ -1499,6 +1499,12 @@ class MergeTable:
                 bpath = os.path.join(vpath, bdir)
                 if not os.path.isdir(bpath) or rel in referenced:
                     continue
+                try:
+                    if now - os.path.getmtime(bpath) < min_age_s:
+                        kept_young += 1
+                        continue
+                except OSError:
+                    continue
                 freed_bytes += sum(
                     os.path.getsize(os.path.join(dp, fn))
                     for dp, _, fns in os.walk(bpath) for fn in fns
@@ -1507,4 +1513,5 @@ class MergeTable:
                 removed_dirs += 1
             if not any(e.is_dir() for e in os.scandir(vpath)):
                 shutil.rmtree(vpath)  # only _SUCCESS markers left
-        return {"removed_dirs": removed_dirs, "freed_bytes": freed_bytes}
+        return {"removed_dirs": removed_dirs, "freed_bytes": freed_bytes,
+                "kept_young_dirs": kept_young}

@@ -134,14 +134,15 @@ def test_expire_and_vacuum_reclaim_old_versions(spark, tmpdir_path):
     assert expired and max(expired) == tbl.version - 2
     with pytest.raises(FileNotFoundError):
         tbl.snapshot_at(expired[-1])  # time travel past retention raises
-    stats = tbl.vacuum()
+    stats = tbl.vacuum(min_age_s=0)
     assert stats["removed_dirs"] > 0 and stats["freed_bytes"] > 0
     # current state and in-retention time travel are untouched
     after = {(r["repo"], r["path"], r["commit_seq"]) for r in tbl.read().collect()}
     assert after == before
     assert tbl.read(version=tbl.version - 1).count() == 1
     # every remaining data dir is referenced by some retained snapshot
-    assert tbl.vacuum() == {"removed_dirs": 0, "freed_bytes": 0}
+    assert tbl.vacuum(min_age_s=0) == {
+        "removed_dirs": 0, "freed_bytes": 0, "kept_young_dirs": 0}
 
 
 def test_vacuum_removes_aborted_commit_orphans(spark, tmpdir_path):
@@ -158,7 +159,7 @@ def test_vacuum_removes_aborted_commit_orphans(spark, tmpdir_path):
     data_dirs = set(os.listdir(os.path.join(tbl.root, "data")))
     referenced = {r["path"].split(os.sep)[1] for r in tbl.snapshot()["refs"]}
     assert data_dirs - referenced  # orphans exist...
-    stats = tbl.vacuum()
+    stats = tbl.vacuum(min_age_s=0)
     assert stats["removed_dirs"] > 0  # ...and vacuum reclaims them
     assert {r["commit_seq"] for r in tbl.read().collect()} == {1}
 
@@ -239,7 +240,7 @@ def test_changes_still_works_after_vacuum_of_interior_versions(spark, tmpdir_pat
                   f"b{i}")
     v3, v5 = tbl.version - 2, tbl.version
     tbl.expire_snapshots(keep_last=3)  # v1, v2 gone
-    tbl.vacuum()
+    tbl.vacuum(min_age_s=0)
     got = change_set(tbl, v3, v5)
     assert got == {
         ("insert", "a", "k3", 4, "v4"),

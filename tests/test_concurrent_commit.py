@@ -180,3 +180,95 @@ def test_concurrent_backfill_converges_to_oracle(spark, tmpdir_path):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # re-run: fully backfilled ledger is a no-op
     assert bf.run_concurrent(n_workers=4) == []
+
+
+def test_cross_process_writers_both_land(spark, tmpdir_path):
+    """The CAS + file-lock protocol must hold across PROCESSES, not just
+    threads (the reference's chunk processors are separate workers; the
+    lock/CAS live on the shared filesystem). Two subprocesses with their
+    own SparkSessions merge different keys from the same parent snapshot;
+    both commits must land with no lost update."""
+    import subprocess
+    import sys
+    import textwrap
+
+    tbl = make_table(spark, tmpdir_path)
+    script = textwrap.dedent("""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import pyspark.sql.types as T
+        from ore_etl_spark.session import get_spark
+        from ore_etl_spark.tables.merge_table import MergeTable
+
+        root, who = sys.argv[1], sys.argv[2]
+        spark = get_spark(f"xproc-{who}", cpus=2, shuffle_partitions=2)
+        tbl = MergeTable.load(spark, root)
+        schema = T.StructType([
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit_seq", T.LongType()),
+            T.StructField("event_seq", T.LongType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("op", T.StringType()),
+        ])
+        rows = [(who, "x", 1, 0, f"c-{who}", "INSERT")]
+        m = tbl.merge(spark.createDataFrame(rows, schema), f"b-{who}")
+        assert not m.skipped_already_committed
+        spark.stop()
+    """)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script, tbl.root, who],
+                         stdout=subprocess.DEVNULL)
+        for who in ("p1", "p2")
+    ]
+    for p in procs:
+        assert p.wait(timeout=300) == 0
+    assert tbl.snapshot()["version"] == 2
+    assert state(tbl) == {("p1", "x"): (1, "c-p1"), ("p2", "x"): (1, "c-p2")}
+
+
+def test_global_hwm_never_passes_a_gap(spark, tmpdir_path):
+    """Out-of-order chunk completion must not advance the global watermark
+    past an unapplied range: the global hwm means "everything <= hwm is
+    applied" and a later incremental run() resumes above it. The runner
+    publishes only the CONTIGUOUS-completed prefix; after the gap chunk is
+    skipped, a plain run() still converges to the replay oracle."""
+    import pandas as pd
+
+    wal_path = f"{tmpdir_path}/events"
+    generate_wal(spark, n_keys=300, n_partitions=4).write.parquet(wal_path)
+    tbl = MergeTable.create(
+        spark, f"{tmpdir_path}/target", target_schema(),
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=8,
+    )
+    pipe = CdcApplyPipeline(spark, wal_path, tbl, f"{tmpdir_path}/state")
+    lo, hi = pipe.delivery_range()
+    bf = BackfillRunner(pipe, f"{tmpdir_path}/state/chunks.json",
+                        max(1, (hi - lo) // 3))
+    chunks = bf.plan()
+    assert len(chunks) >= 3
+    c0, c2 = chunks[0], chunks[2]
+    # complete chunk 2 FIRST (out of order); chunk 1 is the gap
+    bf._process_chunk(c2)
+    bf.ledger.update(c2["chunk_id"], status="completed", last_seq=c2["seq_hi"])
+    bf._advance_global_hwm()
+    assert pipe.checkpoints.get(pipe.pipeline) == -1  # nothing contiguous yet
+    bf._process_chunk(c0)
+    bf.ledger.update(c0["chunk_id"], status="completed", last_seq=c0["seq_hi"])
+    bf._advance_global_hwm()
+    # stops at the prefix, NOT at chunk 2's high end
+    assert pipe.checkpoints.get(pipe.pipeline) == c0["seq_hi"]
+
+    # an incremental run() resumes above the prefix -> covers the gap
+    pipe.run()
+    exp = replay_oracle(spark.read.parquet(wal_path).toPandas())
+    got = (
+        tbl.read()
+        .select("repo", "path", "commit", "lang", "commit_seq", "event_seq",
+                "content_sha256", "content_len")
+        .toPandas()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    exp = exp[got.columns.tolist()].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

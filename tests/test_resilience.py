@@ -279,10 +279,10 @@ def test_quarantine_recovers_mid_swap_crash(spark, tmpdir_path):
 
 def test_lock_steal_toctou_keeps_fresh_holder(tmpdir_path, monkeypatch):
     """TOCTOU guard on the stale-lock steal: between the staleness check
-    and the rename, another waiter can complete its own steal and a NEW
-    live holder can recreate the lock. The first stealer's rename then
-    grabs the fresh incarnation (rename is by name, not inode) — it must
-    detect the inode mismatch and hand the lock back, not unlink it."""
+    and the steal, the stale lock can be replaced by a NEW live holder's
+    fresh incarnation. Under the steal-mutex the stealer re-verifies
+    (inode, mtime_ns, staleness) before the in-place unlink — a swapped
+    fresh lock must survive untouched and the waiter must time out."""
     import os
     import time
 
@@ -293,12 +293,14 @@ def test_lock_steal_toctou_keeps_fresh_holder(tmpdir_path, monkeypatch):
     open(lock, "w").close()
     past = time.time() - 3600
     os.utime(lock, (past, past))  # genuinely stale
-    real_rename = os.rename
+    real_open = os.open
 
-    def racy_rename(src, dst):
-        if src == lock:
-            # simulate the race: another stealer already removed the stale
-            # lock and a live holder re-created it (fresh mtime, new inode)
+    def racy_open(p, flags, *a, **kw):
+        fd = real_open(p, flags, *a, **kw)
+        if p == lock + ".steal":
+            # simulate the race at the worst moment: the instant this
+            # stealer wins the steal-mutex, the stale lock has already
+            # been replaced by a live holder's fresh lock
             os.unlink(lock)
             with open(lock, "w") as f:
                 f.write("fresh-holder-token")
@@ -306,10 +308,10 @@ def test_lock_steal_toctou_keeps_fresh_holder(tmpdir_path, monkeypatch):
             # horizon while the waiter spins toward its deadline
             fut = time.time() + 60
             os.utime(lock, (fut, fut))
-            monkeypatch.setattr(stores.os, "rename", real_rename)
-        return real_rename(src, dst)
+            monkeypatch.setattr(stores.os, "open", real_open)
+        return fd
 
-    monkeypatch.setattr(stores.os, "rename", racy_rename)
+    monkeypatch.setattr(stores.os, "open", racy_open)
     with pytest.raises(TimeoutError):
         with stores._file_lock(path, timeout_s=1.0):
             pass
@@ -317,3 +319,26 @@ def test_lock_steal_toctou_keeps_fresh_holder(tmpdir_path, monkeypatch):
     assert os.path.exists(lock)
     with open(lock) as f:
         assert f.read() == "fresh-holder-token"
+    assert not os.path.exists(lock + ".steal")  # mutex released
+
+
+def test_stale_steal_mutex_is_cleared(tmpdir_path):
+    """A stealer that died between acquiring the steal-mutex and releasing
+    it must not deadlock future stealers: a stale mutex corpse is removed
+    and the (stale) lock is then broken normally."""
+    import os
+    import time
+
+    from ore_etl_spark.state import stores
+
+    path = f"{tmpdir_path}/ledger.json"
+    lock = path + ".lock"
+    past = time.time() - 3600
+    for p in (lock, lock + ".steal"):
+        open(p, "w").close()
+        os.utime(p, (past, past))
+    t0 = time.time()
+    with stores._file_lock(path, timeout_s=5.0):
+        pass
+    assert time.time() - t0 < 2.0
+    assert not os.path.exists(lock) and not os.path.exists(lock + ".steal")

@@ -52,7 +52,7 @@ def test_manifest_stays_bounded_at_1000_batches(spark, tmpdir_path):
     tbl = make_table(spark, tmpdir_path, batch_window=50)
     snap = tbl.snapshot()
     for i in range(1000):  # bookkeeping-level commits (no data files needed)
-        snap = tbl._advance(snap, f"b{i}", {}, set())
+        snap = {**snap, **tbl._commit_fields(snap, f"b{i}")}
         tbl._write_snapshot(snap)
     snap = tbl.snapshot()
     assert snap["version"] == 1000
@@ -294,12 +294,12 @@ def test_maintain_runs_compact_expire_vacuum(spark, tmpdir_path):
     assert tbl.delta_depth() == 6
     # keep only the post-compaction snapshot so the folded delta dirs are
     # actually unreferenced (keeping N>1 retains them via older manifests)
-    res = tbl.maintain(compact_depth=4, keep_snapshots=1)
+    res = tbl.maintain(compact_depth=4, keep_snapshots=1, vacuum_min_age_s=0)
     assert res["compacted"] and tbl.delta_depth() == 0
     assert res["expired_versions"] and res["removed_dirs"] > 0
     assert state(tbl) == {("a", "x"): (6, "v6")}
     # idempotent re-run: nothing left to do
-    res2 = tbl.maintain(compact_depth=4, keep_snapshots=1)
+    res2 = tbl.maintain(compact_depth=4, keep_snapshots=1, vacuum_min_age_s=0)
     assert not res2["compacted"] and res2["removed_dirs"] == 0
     assert state(tbl) == {("a", "x"): (6, "v6")}
 
@@ -317,7 +317,7 @@ def test_snapshot_isolation_for_inflight_readers(spark, tmpdir_path):
     # after expiry + vacuum the old files are gone - pinned plans may
     # fail, fresh reads are unaffected (documented single-writer GC)
     tbl.expire_snapshots(keep_last=1)
-    tbl.vacuum()
+    tbl.vacuum(min_age_s=0)
     assert [r["content"] for r in tbl.read().collect()] == ["new"]
 
 
@@ -379,3 +379,31 @@ def test_sorted_compaction_enables_file_skipping(spark, tmpdir_path):
                  for r in tbl.read().filter(
                      "commit_seq between 100 and 120").collect())
     assert got == exp and len(got) == 21
+
+
+def test_vacuum_grace_period_protects_inflight_attempts(spark, tmpdir_path):
+    """Round-3: a concurrent writer's attempt dir (files written, CAS not
+    yet landed) is indistinguishable from an aborted commit — vacuum must
+    keep unreferenced dirs younger than min_age_s (Iceberg
+    remove_orphan_files(older_than) contract) and reclaim them only past
+    the horizon."""
+    import time
+
+    tbl = make_table(spark, tmpdir_path, n_buckets=2)
+    tbl.merge(df(spark, [("a", "x", 1, 0, "v1", "INSERT")]), "b1")
+    # simulate an in-flight writer mid-commit
+    rel = tbl._attempt_dir(tbl.snapshot())
+    bdir = os.path.join(tbl.root, rel, "_bucket=0")
+    os.makedirs(bdir)
+    with open(os.path.join(bdir, "part-0.parquet"), "w") as f:
+        f.write("placeholder")
+    stats = tbl.vacuum()  # default 1h grace
+    assert stats["removed_dirs"] == 0 and stats["kept_young_dirs"] == 1
+    assert os.path.exists(bdir)
+    # past the horizon it is an abort leftover -> reclaimed
+    past = time.time() - 7200
+    os.utime(bdir, (past, past))
+    stats = tbl.vacuum()
+    assert stats["removed_dirs"] == 1 and not os.path.exists(bdir)
+    # committed data untouched throughout
+    assert state(tbl) == {("a", "x"): (1, "v1")}
