@@ -70,7 +70,8 @@ def cmd_backfill(args):
     spark = _spark(args)
     pipe = CdcApplyPipeline(spark, args.events, _table(spark, args),
                             args.state, mode=args.mode,
-                            compact_every=args.compact_every)
+                            compact_every=args.compact_every,
+                            events_format=args.format)
     # single worker: any 'running' chunk is a crash leftover (steal at 0s).
     # multi-worker: live peers hold 'running' chunks, but a chunk whose
     # heartbeat went quiet for --stale-after seconds is a crashed worker's
@@ -90,7 +91,8 @@ def cmd_tail(args):
 
     spark = _spark(args)
     pipe = CdcApplyPipeline(spark, args.events, _table(spark, args),
-                            args.state, mode=args.mode)
+                            args.state, mode=args.mode,
+                            events_format=args.format)
     res = tail_loop(pipe, poll_interval_s=args.poll_interval,
                     max_polls=args.max_polls,
                     stop_when_idle=args.stop_when_idle)
@@ -202,6 +204,11 @@ def main(argv=None):
         p.add_argument("--state", required=True)
         p.add_argument("--buckets", type=int, default=64)
         p.add_argument("--mode", choices=["cow", "mor"], default="cow")
+        p.add_argument("--format", choices=["parquet", "jsonl"],
+                       default="parquet",
+                       help="WAL archive format (jsonl = schema-on-read "
+                            "newline-delimited JSON; malformed lines are "
+                            "quarantined, never dropped)")
         p.add_argument("--compact-every", type=int, default=None)
         if name == "backfill":
             p.add_argument("--chunk-size", type=int, default=1000000)

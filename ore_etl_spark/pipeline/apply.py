@@ -73,6 +73,7 @@ class CdcApplyPipeline:
         compact_every: int | None = None,
         compact_depth: int | None = None,
         mor_fast_path: bool = False,
+        events_format: str = "parquet",
     ):
         """``mode``: 'cow' (copy-on-write conditional MERGE — read-optimized)
         or 'mor' (merge-on-read delta append — write-optimized; bytes
@@ -84,6 +85,9 @@ class CdcApplyPipeline:
         batch counter (a metadata-only check per batch, no Spark job)."""
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown mode {mode!r}")
+        if events_format not in ("parquet", "jsonl"):
+            raise ValueError(f"unknown events_format {events_format!r}")
+        self.events_format = events_format
         self.spark = spark
         self.events_path = events_path
         self.table = table
@@ -101,6 +105,10 @@ class CdcApplyPipeline:
 
     # ------------------------------------------------------------------
     def events(self) -> DataFrame:
+        if self.events_format == "jsonl":
+            from ..sources.cdc_json import read_jsonl_wal
+
+            return read_jsonl_wal(self.spark, self.events_path)
         return self.spark.read.parquet(self.events_path)
 
     def delivery_range(self) -> tuple[int, int]:
@@ -112,6 +120,35 @@ class CdcApplyPipeline:
     @staticmethod
     def batch_id_for(pipeline: str, lo: int, hi: int) -> str:
         return f"{pipeline}:{lo}:{hi}"
+
+    def quarantine_malformed_source(self) -> int:
+        """JSONL archives can hold lines that are not valid JSON at all.
+        Those rows have no ``delivery_seq`` and can never enter a
+        watermark batch, so the batch loop would silently never see them —
+        park them in the quarantine (error=``malformed_source_line``, raw
+        line in ``payload`` so a ``redrive(fix_fn=...)`` can repair them)
+        before processing. Idempotent: rewrites one fixed quarantine
+        sub-dir from the source each call. Returns the malformed count."""
+        if self.events_format != "jsonl":
+            return 0
+        from ..sources.cdc_json import read_jsonl_wal
+
+        bad = read_jsonl_wal(self.spark, self.events_path,
+                             keep_malformed=True).filter(
+            F.col("_malformed").isNotNull() & F.col("delivery_seq").isNull())
+        raw_cols = [c for c in bad.columns if c != "_malformed"]
+        out = bad.select(
+            *[F.col(c) if c != "payload"
+              else F.col("_malformed").alias("payload") for c in raw_cols],
+            F.lit("malformed_source_line").alias("error"),
+            F.lit(1).alias("attempts"),
+        )
+        self._quarantine_recover()
+        n = out.count()
+        if n > 0:
+            out.write.mode("overwrite").parquet(
+                f"{self.quarantine_dir}/batch_id=malformed_source")
+        return n
 
     # ------------------------------------------------------------------
     def _stats_phase(self, seq_lo: int, seq_hi: int):
@@ -268,6 +305,7 @@ class CdcApplyPipeline:
         """
         from concurrent.futures import ThreadPoolExecutor
 
+        self.quarantine_malformed_source()
         lo_all, hi_all = self.delivery_range()
         if hi_all is None:  # empty WAL — nothing to apply
             return []

@@ -35,6 +35,9 @@ def tail_loop(
     """Poll the WAL head; apply new events as they appear."""
     results = []
     polls = 0
+    # JSONL archives: park fully-malformed lines (no delivery_seq — the
+    # watermark loop below could never see them) before tailing
+    pipe.quarantine_malformed_source()
     while max_polls is None or polls < max_polls:
         polls += 1
         hwm = pipe.checkpoints.get(pipe.pipeline)

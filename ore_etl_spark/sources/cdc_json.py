@@ -1,0 +1,136 @@
+"""JSON change-event sources (SURVEY §2.1 S6 surface widened).
+
+The reference consumes its change events as JSON messages off RabbitMQ
+(/root/reference/src/services/transaction-consumer.ts) — the parquet WAL
+the engine replays in batch is the archived form of that stream. This
+module makes the engine source-format agnostic:
+
+- ``read_jsonl_wal``: newline-delimited JSON WAL with an EXPLICIT schema
+  (schema-on-read; ``inferSchema`` over 100 TB is a full extra pass and
+  non-deterministic under sampling). Malformed lines are not silently
+  dropped: PERMISSIVE mode routes them to rows whose ``payload`` is NULL,
+  which the decode stage marks invalid → quarantine, preserving the
+  never-fail-the-batch / nothing-vanishes contract.
+- ``from_debezium``: normalize a Debezium-style CDC envelope
+  (``{op: c|u|d|r, before, after, source{commit_seq,event_seq,...},
+  ts_ms}``) into the engine's WAL event shape, re-encoding the payload
+  with the same binary layout the decoder expects — so every downstream
+  stage (vectorized decode, LWW, MERGE) is identical regardless of the
+  wire format.
+
+Everything here is JVM expressions — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..datagen.wal import payload_expr
+
+_WAL_FIELDS = [
+    ("event_id", T.LongType()),
+    ("partition_id", T.IntegerType()),
+    ("delivery_seq", T.LongType()),
+    ("commit_seq", T.LongType()),
+    ("event_seq", T.LongType()),
+    ("op", T.StringType()),
+    ("repo", T.StringType()),
+    ("path", T.StringType()),
+    ("commit", T.StringType()),
+    ("lang", T.StringType()),
+    ("payload", T.StringType()),
+    ("ts", T.TimestampNTZType()),
+    ("size_bytes", T.LongType()),
+]
+
+
+def wal_event_schema() -> T.StructType:
+    """The engine's WAL event schema, for schema-on-read sources."""
+    return T.StructType([T.StructField(n, t, True) for n, t in _WAL_FIELDS])
+
+
+def read_jsonl_wal(spark: SparkSession, path: str,
+                   schema: T.StructType | None = None,
+                   keep_malformed: bool = False) -> DataFrame:
+    """Read a newline-delimited JSON WAL with an explicit schema.
+
+    Returns the same frame shape ``spark.read.parquet(wal)`` would, so
+    ``CdcApplyPipeline`` runs unchanged on JSON input.
+
+    Lines that are not valid JSON at all parse to all-NULL rows carrying
+    the raw text in ``_malformed`` (PERMISSIVE + corrupt-record column).
+    They have no ``delivery_seq``, so they can never enter a watermark
+    batch — by default they are filtered here and
+    ``CdcApplyPipeline.quarantine_malformed_source`` parks them in the
+    quarantine instead (nothing vanishes). ``keep_malformed=True`` returns
+    them with the ``_malformed`` column for that path.
+
+    The batchable/dead split is ``_malformed set AND delivery_seq NULL``:
+    a partially-parseable line that still yields its delivery_seq can
+    flow through the normal decode→quarantine machinery, and referencing
+    a data column keeps Spark's query-only-corrupt-column restriction
+    happy under column pruning.
+    """
+    full = T.StructType(
+        (schema or wal_event_schema()).fields
+        + [T.StructField("_malformed", T.StringType(), True)]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_malformed")
+        .json(path)
+    )
+    dead = F.col("_malformed").isNotNull() & F.col("delivery_seq").isNull()
+    if keep_malformed:
+        return df
+    return df.filter(~dead).drop("_malformed")
+
+
+def from_debezium(envelopes: DataFrame) -> DataFrame:
+    """Normalize Debezium CDC envelopes into WAL events.
+
+    Expected envelope columns (Debezium JSON ``payload`` flattened):
+    ``op`` ('c' create / 'u' update / 'd' delete / 'r' snapshot read),
+    ``before`` / ``after`` structs with (repo, path, commit, lang,
+    content), ``source`` struct with (commit_seq, event_seq,
+    partition_id), ``delivery_seq``, ``ts_ms``.
+
+    Mapping: c/r/u carry ``after``, d carries ``before`` (the key of the
+    deleted row); op becomes INSERT/UPDATE/DELETE; the content is
+    re-encoded with ``payload_expr`` (the [version:u32le][len:u32le]+body
+    binary layout) so the vectorized decoder and its quarantine semantics
+    apply identically to wire-format rows.
+    """
+    img = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    op = (
+        F.when(F.col("op").isin("c", "r"), F.lit("INSERT"))
+        .when(F.col("op") == "u", F.lit("UPDATE"))
+        .when(F.col("op") == "d", F.lit("DELETE"))
+    )
+    content = F.coalesce(img["content"], F.lit(""))
+    return envelopes.select(
+        F.col("delivery_seq").cast("long").alias("event_id"),
+        F.col("source.partition_id").cast("int").alias("partition_id"),
+        F.col("delivery_seq").cast("long").alias("delivery_seq"),
+        F.col("source.commit_seq").cast("long").alias("commit_seq"),
+        F.col("source.event_seq").cast("long").alias("event_seq"),
+        op.alias("op"),
+        img["repo"].alias("repo"),
+        img["path"].alias("path"),
+        F.coalesce(img["commit"],
+                   F.sha2(F.concat_ws("|", img["repo"], img["path"],
+                                      F.col("source.commit_seq")), 256))
+        .alias("commit"),
+        img["lang"].alias("lang"),
+        # header version field is u32le — wrap commit_seq into range the
+        # same way the decoder will read it back
+        payload_expr(content,
+                     F.pmod(F.col("source.commit_seq"), F.lit(2 ** 32)))
+        .alias("payload"),
+        F.timestamp_millis(F.col("ts_ms").cast("long"))
+        .cast("timestamp_ntz").alias("ts"),
+        F.length(content).cast("long").alias("size_bytes"),
+    )

@@ -1,0 +1,149 @@
+"""JSON change-event sources (round-3): the engine must be source-format
+agnostic — the reference's events arrive as JSON messages
+(/root/reference/src/services/transaction-consumer.ts), and the parquet
+WAL is just their archived form.
+
+- JSONL WAL end-to-end: the same adversarial WAL serialized as
+  newline-delimited JSON, applied through CdcApplyPipeline, converges to
+  the pandas replay oracle (identical to the parquet path).
+- Malformed JSON lines are quarantined, never silently dropped.
+- Debezium envelopes (c/u/d ops, before/after images) normalize into WAL
+  events whose replay produces the expected keyed state incl. deletes.
+"""
+
+import json
+import os
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from ore_etl_spark.datagen.wal import generate_wal, replay_oracle
+from ore_etl_spark.pipeline.apply import CdcApplyPipeline, target_schema
+from ore_etl_spark.sources.cdc_json import (from_debezium, read_jsonl_wal,
+                                            wal_event_schema)
+from ore_etl_spark.tables.merge_table import MergeTable
+
+
+def _make_pipe(spark, tmpdir_path, events_path, events_format):
+    tbl = MergeTable.create(
+        spark, f"{tmpdir_path}/target", target_schema(),
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=8,
+    )
+    return CdcApplyPipeline(spark, events_path, tbl, f"{tmpdir_path}/state",
+                            events_format=events_format)
+
+
+def test_jsonl_wal_replay_matches_parquet_oracle(spark, tmpdir_path):
+    wal = generate_wal(spark, n_keys=300, n_partitions=4)
+    pq_path = f"{tmpdir_path}/events_pq"
+    wal.write.parquet(pq_path)
+    jl_path = f"{tmpdir_path}/events_jsonl"
+    # serialize the SAME WAL as newline-delimited JSON
+    spark.read.parquet(pq_path).write.json(jl_path)
+
+    pipe = _make_pipe(spark, tmpdir_path, jl_path, "jsonl")
+    # schema-on-read must round-trip types (ts is timestamp_ntz)
+    assert dict(pipe.events().dtypes)["ts"] == "timestamp_ntz"
+    pipe.run()
+
+    exp = replay_oracle(spark.read.parquet(pq_path).toPandas())
+    got = (
+        pipe.table.read()
+        .select("repo", "path", "commit", "lang", "commit_seq", "event_seq",
+                "content_sha256", "content_len")
+        .toPandas()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    exp = exp[got.columns.tolist()].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_malformed_jsonl_lines_are_quarantined_not_dropped(spark, tmpdir_path):
+    wal = generate_wal(spark, n_keys=50, n_partitions=2, corrupt_rate_permille=0)
+    jl_path = f"{tmpdir_path}/events_jsonl"
+    wal.write.json(jl_path)
+    # drop a garbage line into the directory as its own file (appending to
+    # a part file would break its Hadoop .crc sidecar)
+    with open(os.path.join(jl_path, "part-zz-malformed.json"), "w") as f:
+        f.write("{this is not json\n")
+
+    pipe = _make_pipe(spark, tmpdir_path, jl_path, "jsonl")
+    n_events = wal.count()
+    # default read filters the bad line out of the batchable stream...
+    assert read_jsonl_wal(spark, jl_path).count() == n_events
+    # ...and run() parks it in quarantine first (it has no delivery_seq,
+    # so the watermark loop could never see it)
+    pipe.run()
+    q = pipe.quarantine().collect()
+    assert len(q) == 1
+    assert q[0]["error"] == "malformed_source_line"
+    assert q[0]["payload"].startswith("{this is not json")
+    # the valid events all applied
+    assert pipe.table.read().count() > 0
+
+
+def test_debezium_envelopes_normalize_and_replay(spark, tmpdir_path):
+    img = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    env_schema = T.StructType([
+        T.StructField("op", T.StringType()),
+        T.StructField("before", img),
+        T.StructField("after", img),
+        T.StructField("source", T.StructType([
+            T.StructField("commit_seq", T.LongType()),
+            T.StructField("event_seq", T.LongType()),
+            T.StructField("partition_id", T.IntegerType()),
+        ])),
+        T.StructField("delivery_seq", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+
+    def row(op, who, ver, content, before=None):
+        image = (who, f"src/{who}.py", f"c{ver}", "python", content)
+        return (
+            op,
+            image if op == "d" else before,
+            None if op == "d" else image,
+            (ver, 0, 0),
+            ver,
+            1_700_000_000_000 + ver,
+        )
+
+    envs = spark.createDataFrame(
+        [
+            row("c", "alice", 1, "v1"),
+            row("u", "alice", 2, "v2"),
+            row("c", "bob", 1, "hello"),
+            row("d", "bob", 2, "hello"),   # delete bob via before image
+            row("r", "carol", 1, "snap"),  # snapshot read -> INSERT
+        ],
+        env_schema,
+    )
+    wal = from_debezium(envs)
+    assert set(wal.columns) == {n for n, _ in
+                                zip(wal_event_schema().fieldNames(),
+                                    wal_event_schema().fields)} \
+        or wal.columns == wal_event_schema().fieldNames()
+
+    jl = f"{tmpdir_path}/dbz_wal"
+    wal.write.json(jl)
+    pipe = _make_pipe(spark, tmpdir_path, jl, "jsonl")
+    pipe.run()
+    state = {(r["repo"], r["path"]): (r["commit_seq"], r["content_len"])
+             for r in pipe.table.read().collect()}
+    # bob is tombstoned; alice holds v2's content; carol snapshot applied
+    assert set(state) == {("alice", "src/alice.py"), ("carol", "src/carol.py")}
+    assert state[("alice", "src/alice.py")][0] == 2
+    assert state[("alice", "src/alice.py")][1] == len("v2")
+    # the tombstone survives with its version (no resurrection)
+    dead = {(r["repo"], r["path"]) for r in
+            pipe.table.read(with_deleted=True)
+            .filter(F.col("_deleted")).collect()}
+    assert dead == {("bob", "src/bob.py")}
