@@ -142,12 +142,19 @@ class CdcApplyPipeline:
               else F.col("_malformed").alias("payload") for c in raw_cols],
             F.lit("malformed_source_line").alias("error"),
             F.lit(1).alias("attempts"),
-        )
+        ).dropDuplicates(["payload"])
         self._quarantine_recover()
-        n = out.count()
+        # idempotent across runs AND across redrive's generation swaps: a
+        # line already tracked anywhere in the quarantine (possibly at
+        # attempts=2+, or dead-lettered) must not be re-parked at
+        # attempts=1 — that would resurrect dead letters forever
+        existing = self.quarantine().select("payload").distinct()
+        out = out.join(existing, "payload", "left_anti").persist()
+        n = out.count()  # persist: one archive parse serves count + write
         if n > 0:
-            out.write.mode("overwrite").parquet(
+            out.write.mode("append").parquet(
                 f"{self.quarantine_dir}/batch_id=malformed_source")
+        out.unpersist()
         return n
 
     # ------------------------------------------------------------------

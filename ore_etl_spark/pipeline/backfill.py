@@ -38,6 +38,9 @@ class BackfillRunner:
         self.stale_after_s = stale_after_s
 
     def plan(self) -> list[dict]:
+        # JSONL archives: park fully-malformed lines first — they have no
+        # delivery_seq, so no chunk's watermark range could ever see them
+        self.pipe.quarantine_malformed_source()
         lo, hi = self.pipe.delivery_range()
         if hi is None:  # empty WAL — nothing to plan (mirror apply.run())
             return []
@@ -104,6 +107,15 @@ class BackfillRunner:
         done: list[dict] = []
         claimed = 0
         guard = threading.Lock()
+        # stale_after_s=0.0 is the SINGLE-runner crash-recovery setting
+        # ("any running chunk is a leftover"); with live peers in this
+        # process it would make every just-claimed chunk instantly
+        # re-claimable and all workers pile onto the same chunk. Treat it
+        # as never-steal here; pass a real staleness window to reclaim
+        # chunks from crashed EXTERNAL runners.
+        stale = self.stale_after_s
+        if stale is not None and stale <= 0:
+            stale = None
 
         def worker() -> None:
             nonlocal claimed
@@ -112,7 +124,7 @@ class BackfillRunner:
                     if max_chunks is not None and claimed >= max_chunks:
                         return
                     claimed += 1  # reserve a slot BEFORE claiming (no over-claim)
-                chunk = self.ledger.claim_next(stale_after_s=self.stale_after_s)
+                chunk = self.ledger.claim_next(stale_after_s=stale)
                 if chunk is None:
                     with guard:
                         claimed -= 1  # release: a None claim must not burn
@@ -136,16 +148,37 @@ class BackfillRunner:
         return done
 
     def _process_chunk(self, chunk: dict) -> dict:
+        import threading
+
         # resume mid-chunk: start above whatever this chunk already applied
         start = max(chunk["seq_lo"] - 1, chunk["last_seq"])
         hi = chunk["seq_hi"]
         span = max(1, (hi - start) // self.intra_chunk_batches + 1)
         results = []
         cur = start
-        while cur < hi:
-            nxt = min(cur + span, hi)
-            results.append(self.pipe.run_batch(cur, nxt,
-                                               update_global_hwm=False))
-            self.ledger.update(chunk["chunk_id"], last_seq=nxt)
-            cur = nxt
+        # heartbeat: the per-batch last_seq update is the only mtime bump,
+        # and a chunk is often ONE long batch — a peer using a staleness
+        # window would steal a live-but-slow chunk. Tick updated_at every
+        # 30 s while the chunk runs so only true crashes look stale.
+        stop = threading.Event()
+
+        def beat() -> None:
+            while not stop.wait(30.0):
+                try:
+                    self.ledger.update(chunk["chunk_id"])
+                except Exception:  # heartbeat must never kill the chunk
+                    pass
+
+        ticker = threading.Thread(target=beat, daemon=True)
+        ticker.start()
+        try:
+            while cur < hi:
+                nxt = min(cur + span, hi)
+                results.append(self.pipe.run_batch(cur, nxt,
+                                                   update_global_hwm=False))
+                self.ledger.update(chunk["chunk_id"], last_seq=nxt)
+                cur = nxt
+        finally:
+            stop.set()
+            ticker.join(timeout=5.0)
         return {"chunk_id": chunk["chunk_id"], "batches": results}

@@ -103,7 +103,13 @@ def from_debezium(envelopes: DataFrame) -> DataFrame:
     re-encoded with ``payload_expr`` (the [version:u32le][len:u32le]+body
     binary layout) so the vectorized decoder and its quarantine semantics
     apply identically to wire-format rows.
+
+    Non-row envelope ops (Debezium also emits 't' truncate and 'm'
+    message) are dropped here: they carry no row images, so letting them
+    through would insert null-keyed garbage. Row-level truncate handling,
+    if wanted, is a caller-side ``update_where``/delete pass.
     """
+    envelopes = envelopes.filter(F.col("op").isin("c", "u", "d", "r"))
     img = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
     op = (
         F.when(F.col("op").isin("c", "r"), F.lit("INSERT"))
@@ -130,7 +136,11 @@ def from_debezium(envelopes: DataFrame) -> DataFrame:
         payload_expr(content,
                      F.pmod(F.col("source.commit_seq"), F.lit(2 ** 32)))
         .alias("payload"),
-        F.timestamp_millis(F.col("ts_ms").cast("long"))
+        # UTC wall-clock regardless of spark.sql.session.timeZone: a plain
+        # LTZ->NTZ cast renders the SESSION zone's wall time, which would
+        # make the normalized WAL differ across environments
+        F.to_utc_timestamp(F.timestamp_millis(F.col("ts_ms").cast("long")),
+                           F.current_timezone())
         .cast("timestamp_ntz").alias("ts"),
         F.length(content).cast("long").alias("size_bytes"),
     )

@@ -53,6 +53,12 @@ def _file_lock(path: str, timeout_s: float = 30.0, poll_s: float = 0.005):
             # creation requires the name to be free — under the mutex no
             # one else can remove the stale file first — so the verified
             # unlink provably removes only the dead holder's file.
+            # deadline FIRST: every path below (steal attempt, mutex
+            # contention, persistent unlink errors) must stay bounded —
+            # a continue that skipped this check could busy-spin forever
+            if time.time() > deadline:
+                raise TimeoutError(f"could not acquire {lock} in {timeout_s}s")
+            stole = False
             try:
                 st = os.stat(lock)
                 if time.time() - st.st_mtime > timeout_s:
@@ -65,25 +71,24 @@ def _file_lock(path: str, timeout_s: float = 30.0, poll_s: float = 0.005):
                         with contextlib.suppress(OSError):
                             if time.time() - os.path.getmtime(smx) > timeout_s:
                                 os.unlink(smx)
-                        continue
-                    try:
-                        st2 = os.stat(lock)
-                        if (st2.st_ino == st.st_ino
-                                and st2.st_mtime_ns == st.st_mtime_ns
-                                and time.time() - st2.st_mtime > timeout_s):
-                            os.unlink(lock)
-                    except OSError:
-                        pass
-                    finally:
-                        os.close(sfd)
-                        with contextlib.suppress(OSError):
-                            os.unlink(smx)
-                    continue
+                    else:
+                        try:
+                            st2 = os.stat(lock)
+                            if (st2.st_ino == st.st_ino
+                                    and st2.st_mtime_ns == st.st_mtime_ns
+                                    and time.time() - st2.st_mtime > timeout_s):
+                                os.unlink(lock)
+                                stole = True
+                        except OSError:
+                            pass
+                        finally:
+                            os.close(sfd)
+                            with contextlib.suppress(OSError):
+                                os.unlink(smx)
             except OSError:
-                continue  # lock vanished or another stealer won — retry
-            if time.time() > deadline:
-                raise TimeoutError(f"could not acquire {lock} in {timeout_s}s")
-            time.sleep(poll_s)
+                pass  # lock vanished or another stealer won — poll again
+            if not stole:
+                time.sleep(poll_s)
     try:
         yield
     finally:

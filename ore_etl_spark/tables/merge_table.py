@@ -65,6 +65,7 @@ are live). Run those from the maintenance window.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -1058,14 +1059,6 @@ class MergeTable:
                     f"writer (parent v{ours['version']} != current "
                     f"v{cur['version']})"
                 )
-            if cur["version"] - ours["version"] > 32:
-                # the disjointness proof walks every intervening snapshot
-                # WHILE HOLDING the commit lock — bound that driver I/O.
-                # A writer this far behind recomputes from fresh instead
-                # (cheaper overall than an O(versions × refs) lock hold).
-                raise CommitConflict(
-                    f"{cur['version'] - ours['version']} commits behind; "
-                    "recompute instead of a long locked rebase walk")
             if cur.get("n_buckets") != ours.get("n_buckets"):
                 raise CommitConflict(
                     "bucket spec changed underneath this commit")
@@ -1095,6 +1088,17 @@ class MergeTable:
                            else cur["current_schema_id"])
 
             if replace_buckets is not None:
+                if cur["version"] - ours["version"] > 32:
+                    # the disjointness proof below walks every intervening
+                    # snapshot WHILE HOLDING the commit lock — bound that
+                    # driver I/O. A COW writer this far behind recomputes
+                    # from fresh instead (cheaper than an O(versions ×
+                    # refs) lock hold). Delta appends never take this
+                    # walk, so they rebase at ANY distance.
+                    raise CommitConflict(
+                        f"{cur['version'] - ours['version']} commits "
+                        "behind; recompute instead of a long locked "
+                        "rebase walk")
                 inter = self._intervening_touched(orig, cur)
                 clash = inter & set(replace_buckets)
                 if clash:
@@ -1512,6 +1516,11 @@ class MergeTable:
                 shutil.rmtree(bpath)
                 removed_dirs += 1
             if not any(e.is_dir() for e in os.scandir(vpath)):
-                shutil.rmtree(vpath)  # only _SUCCESS markers left
+                # only _SUCCESS markers left — but apply the same grace: a
+                # concurrent writer's just-created attempt dir may not have
+                # its first bucket subdir yet
+                with contextlib.suppress(OSError):
+                    if now - os.path.getmtime(vpath) >= min_age_s:
+                        shutil.rmtree(vpath)
         return {"removed_dirs": removed_dirs, "freed_bytes": freed_bytes,
                 "kept_young_dirs": kept_young}

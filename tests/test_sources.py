@@ -147,3 +147,39 @@ def test_debezium_envelopes_normalize_and_replay(spark, tmpdir_path):
             pipe.table.read(with_deleted=True)
             .filter(F.col("_deleted")).collect()}
     assert dead == {("bob", "src/bob.py")}
+
+
+def test_malformed_parking_is_idempotent_across_redrive(spark, tmpdir_path):
+    """A parked malformed line that redrive() has already advanced (or
+    dead-lettered) must NOT be re-parked at attempts=1 by the next run()
+    — that would resurrect dead letters and retry a permanently-bad line
+    forever. The scan anti-joins against every quarantine generation."""
+    wal = generate_wal(spark, n_keys=40, n_partitions=2,
+                       corrupt_rate_permille=0)
+    jl_path = f"{tmpdir_path}/events_jsonl"
+    wal.write.json(jl_path)
+    with open(os.path.join(jl_path, "part-zz-malformed.json"), "w") as f:
+        f.write("{still not json\n")
+
+    pipe = _make_pipe(spark, tmpdir_path, jl_path, "jsonl")
+    pipe.run()
+    q1 = pipe.quarantine().collect()
+    assert len(q1) == 1 and q1[0]["attempts"] == 1
+
+    pipe.redrive()  # still fails decode -> attempts=2 in a new generation
+    q2 = pipe.quarantine().collect()
+    assert len(q2) == 1 and q2[0]["attempts"] == 2
+
+    # a fresh run over the unchanged source must not re-park a duplicate
+    assert pipe.quarantine_malformed_source() == 0
+    pipe.run()
+    q3 = pipe.quarantine().collect()
+    assert len(q3) == 1 and q3[0]["attempts"] == 2
+
+    # two more redrives dead-letter it for good; later runs leave it dead
+    pipe.redrive()
+    pipe.run()
+    q4 = pipe.quarantine().collect()
+    assert len(q4) == 1
+    assert q4[0]["attempts"] == 3
+    assert q4[0]["error"] == "payload_decode_failed_final"
