@@ -61,17 +61,22 @@ def stream_decoded(
     checkpoint_dir: str,
     apply_fn: Callable[[DataFrame, int], None],
     trigger_once: bool = True,
+    events_format: str = "parquet",
 ):
     """Structured Streaming over the WAL directory with a foreachBatch sink.
 
     ``apply_fn(batch_df, epoch_id)`` receives decoded micro-batches (valid
     and quarantine rows both, discriminated by ``is_valid``).
+    ``events_format='jsonl'`` streams a newline-delimited JSON archive
+    with the same explicit schema (schema-on-read; the raw-queue shape the
+    reference consumes).
     """
-    src = (
+    reader = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "16")
-        .parquet(events_path)
     )
+    src = (reader.json(events_path) if events_format == "jsonl"
+           else reader.parquet(events_path))
     decoded = decode_events(src)
     writer = (
         decoded.writeStream.foreachBatch(apply_fn)

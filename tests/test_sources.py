@@ -183,3 +183,41 @@ def test_malformed_parking_is_idempotent_across_redrive(spark, tmpdir_path):
     assert len(q4) == 1
     assert q4[0]["attempts"] == 3
     assert q4[0]["error"] == "payload_decode_failed_final"
+
+
+def test_streaming_jsonl_foreachbatch_converges(spark, tmpdir_path):
+    """S6 wire-format parity in streaming mode: a JSONL WAL streamed via
+    readStream.json + foreachBatch MERGE converges to the same replay
+    oracle as the batch paths."""
+    from ore_etl_spark.pipeline.continuous import stream_decoded
+    from ore_etl_spark.sources.cdc_json import wal_event_schema
+
+    wal = generate_wal(spark, n_keys=150, n_partitions=2)
+    jl_path = f"{tmpdir_path}/events_jsonl"
+    wal.write.json(jl_path)
+    tbl = MergeTable.create(
+        spark, f"{tmpdir_path}/starget", target_schema(),
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=8,
+    )
+    cols = [f.name for f in target_schema().fields] + ["op"]
+
+    def apply_fn(batch_df, epoch_id):
+        valid = batch_df.filter(F.col("is_valid")).select(*cols)
+        tbl.merge(valid, batch_id=f"jl-epoch-{epoch_id}")
+
+    q = stream_decoded(spark, jl_path, wal_event_schema(),
+                       f"{tmpdir_path}/jlckpt", apply_fn,
+                       events_format="jsonl")
+    q.awaitTermination(180)
+
+    exp = replay_oracle(wal.toPandas())
+    got = (
+        tbl.read()
+        .select("repo", "path", "commit", "lang", "commit_seq", "event_seq",
+                "content_sha256", "content_len")
+        .toPandas()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    exp = exp[got.columns.tolist()].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
