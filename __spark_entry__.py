@@ -969,7 +969,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decode_bitmask": q_decode_bitmask,
     "decode_positional": q_decode_positional,
     "decode_multiline_merge": q_decode_multiline_merge,
-    "decode_unit_conversion": q_decode_unit_conversion,
+    # decode_unit_conversion (D12) retired from the gating set round 4:
+    # the driver evaluates exactly 50 entries in dict order, and keeping
+    # it here rotated multimodal_filter_pushdown out of CORRECTNESS_r03.
+    # D12 stays pinned by tests/test_wal_and_decode.py; the 50-slot
+    # rotation policy is documented in COVERAGE.md.
     "decode_balance_delta": q_decode_balance_delta,
     "decode_candidates": q_decode_candidates,
     "decode_xor_rng": q_decode_xor_rng,
@@ -1608,11 +1612,6 @@ def oracle_sql() -> dict[str, str]:
                 OVER (PARTITION BY user_id ORDER BY event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS last_big_type
-            FROM events
-        """,
-        "decode_unit_conversion": """
-            SELECT event_id, round(value * 1e9)::BIGINT AS lamports,
-                   round(round(value * 1e9)::BIGINT / 1e9, 6) AS sol_roundtrip
             FROM events
         """,
         "decode_balance_delta": """

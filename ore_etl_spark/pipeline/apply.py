@@ -122,25 +122,34 @@ class CdcApplyPipeline:
         return f"{pipeline}:{lo}:{hi}"
 
     def quarantine_malformed_source(self) -> int:
-        """JSONL archives can hold lines that are not valid JSON at all.
-        Those rows have no ``delivery_seq`` and can never enter a
-        watermark batch, so the batch loop would silently never see them —
-        park them in the quarantine (error=``malformed_source_line``, raw
-        line in ``payload`` so a ``redrive(fix_fn=...)`` can repair them)
-        before processing. Idempotent: rewrites one fixed quarantine
-        sub-dir from the source each call. Returns the malformed count."""
+        """JSONL archives can hold lines that can never enter a watermark
+        batch: lines that are not valid JSON at all (``_malformed`` holds
+        the raw text) AND valid-JSON lines that lack or null
+        ``delivery_seq``. Either way the batch loop would silently never
+        see them — park them in the quarantine (error=
+        ``malformed_source_line`` / ``missing_delivery_seq``, raw line in
+        ``payload`` so a ``redrive(fix_fn=...)`` can repair them) before
+        processing. For missing-seq rows the original line isn't retained
+        by the JSON reader, so the payload is a deterministic ``to_json``
+        re-render of the parsed fields. Idempotent: rewrites one fixed
+        quarantine sub-dir from the source each call. Returns the count."""
         if self.events_format != "jsonl":
             return 0
         from ..sources.cdc_json import read_jsonl_wal
 
         bad = read_jsonl_wal(self.spark, self.events_path,
                              keep_malformed=True).filter(
-            F.col("_malformed").isNotNull() & F.col("delivery_seq").isNull())
+            F.col("delivery_seq").isNull())
         raw_cols = [c for c in bad.columns if c != "_malformed"]
+        raw_line = F.coalesce(
+            F.col("_malformed"),
+            F.to_json(F.struct(*[F.col(c) for c in raw_cols])))
         out = bad.select(
             *[F.col(c) if c != "payload"
-              else F.col("_malformed").alias("payload") for c in raw_cols],
-            F.lit("malformed_source_line").alias("error"),
+              else raw_line.alias("payload") for c in raw_cols],
+            F.when(F.col("_malformed").isNotNull(),
+                   F.lit("malformed_source_line"))
+            .otherwise(F.lit("missing_delivery_seq")).alias("error"),
             F.lit(1).alias("attempts"),
         ).dropDuplicates(["payload"])
         self._quarantine_recover()

@@ -69,14 +69,31 @@ def stream_decoded(
     and quarantine rows both, discriminated by ``is_valid``).
     ``events_format='jsonl'`` streams a newline-delimited JSON archive
     with the same explicit schema (schema-on-read; the raw-queue shape the
-    reference consumes).
+    reference consumes). Mirroring ``read_jsonl_wal``'s batch contract, a
+    ``_malformed`` corrupt-record column carries the raw text of non-JSON
+    lines into the micro-batch so foreachBatch consumers can park the
+    original line (without it Spark would deliver an all-NULL row and the
+    raw text would be lost — weaker than the batch path's quarantine).
     """
-    reader = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "16")
-    )
-    src = (reader.json(events_path) if events_format == "jsonl"
-           else reader.parquet(events_path))
+    if events_format == "jsonl":
+        from pyspark.sql import types as T
+
+        stream_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_malformed", T.StringType(), True)])
+        src = (
+            spark.readStream.schema(stream_schema)
+            .option("maxFilesPerTrigger", "16")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_malformed")
+            .json(events_path)
+        )
+    else:
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "16")
+            .parquet(events_path)
+        )
     decoded = decode_events(src)
     writer = (
         decoded.writeStream.foreachBatch(apply_fn)

@@ -29,8 +29,11 @@ from pyspark.sql import types as T
 
 from ..datagen.wal import payload_expr
 
+# event_id is a content-derived hex digest (tx-signature-like, see
+# datagen/wal.py and apply.py's quarantine schema), NOT a number — typing
+# it long would null it on every JSONL row and flag every line corrupt.
 _WAL_FIELDS = [
-    ("event_id", T.LongType()),
+    ("event_id", T.StringType()),
     ("partition_id", T.IntegerType()),
     ("delivery_seq", T.LongType()),
     ("commit_seq", T.LongType()),
@@ -67,11 +70,14 @@ def read_jsonl_wal(spark: SparkSession, path: str,
     quarantine instead (nothing vanishes). ``keep_malformed=True`` returns
     them with the ``_malformed`` column for that path.
 
-    The batchable/dead split is ``_malformed set AND delivery_seq NULL``:
-    a partially-parseable line that still yields its delivery_seq can
-    flow through the normal decode→quarantine machinery, and referencing
-    a data column keeps Spark's query-only-corrupt-column restriction
-    happy under column pruning.
+    The batchable/dead split is ``delivery_seq IS NULL``: any row without
+    a delivery_seq — whether the whole line failed to parse (``_malformed``
+    carries the raw text) or the line was valid JSON that simply lacks or
+    nulls the field — can never enter a watermark batch, so keeping it
+    here would make it silently vanish. Both kinds are dead; the
+    quarantine distinguishes them by error tag. A partially-parseable
+    line that still yields its delivery_seq flows through the normal
+    decode→quarantine machinery.
     """
     full = T.StructType(
         (schema or wal_event_schema()).fields
@@ -83,7 +89,7 @@ def read_jsonl_wal(spark: SparkSession, path: str,
         .option("columnNameOfCorruptRecord", "_malformed")
         .json(path)
     )
-    dead = F.col("_malformed").isNotNull() & F.col("delivery_seq").isNull()
+    dead = F.col("delivery_seq").isNull()
     if keep_malformed:
         return df
     return df.filter(~dead).drop("_malformed")
@@ -118,7 +124,7 @@ def from_debezium(envelopes: DataFrame) -> DataFrame:
     )
     content = F.coalesce(img["content"], F.lit(""))
     return envelopes.select(
-        F.col("delivery_seq").cast("long").alias("event_id"),
+        F.col("delivery_seq").cast("string").alias("event_id"),
         F.col("source.partition_id").cast("int").alias("partition_id"),
         F.col("delivery_seq").cast("long").alias("delivery_seq"),
         F.col("source.commit_seq").cast("long").alias("commit_seq"),

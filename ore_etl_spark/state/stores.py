@@ -20,6 +20,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import threading
 import time
 import uuid
 
@@ -30,7 +31,18 @@ def _file_lock(path: str, timeout_s: float = 30.0, poll_s: float = 0.005):
     across processes sharing the store (the reference gets the same
     guarantee from Mongo findOneAndUpdate, transaction-transformer.ts:261).
     POSIX open(O_EXCL) is atomic on local FS and NFS; on an object store
-    this maps to a conditional PUT."""
+    this maps to a conditional PUT.
+
+    While held, a daemon heartbeat refreshes the lock's mtime every
+    ``timeout_s/4`` so a LIVE holder is never past the stale horizon — a
+    holder stalled longer than ``timeout_s`` inside its section (slow
+    shared FS, GC pause, a long CAS rebase walk) must not get its lock
+    silently stolen, which would let two writers run the read-merge-write
+    concurrently and lose a commit. The steal path's inode+mtime_ns
+    re-verification means any beat between its two stats vetoes the steal.
+    Each beat re-checks the token before touching, so a stealer that DID
+    legitimately replace a dead holder's file is never kept alive by the
+    dead holder's stray beat."""
     lock = path + ".lock"
     token = uuid.uuid4().hex
     deadline = time.time() + timeout_s
@@ -89,9 +101,25 @@ def _file_lock(path: str, timeout_s: float = 30.0, poll_s: float = 0.005):
                 pass  # lock vanished or another stealer won — poll again
             if not stole:
                 time.sleep(poll_s)
+    stop_beat = threading.Event()
+
+    def _beat():
+        while not stop_beat.wait(timeout_s / 4):
+            try:
+                with open(lock) as f:
+                    if f.read() != token:
+                        return  # our lock was (wrongly) stolen — stop
+                os.utime(lock)
+            except OSError:
+                return  # released or replaced under us — stop beating
+
+    beat = threading.Thread(target=_beat, daemon=True)
+    beat.start()
     try:
         yield
     finally:
+        stop_beat.set()
+        beat.join(timeout=1.0)
         # release by token: if a (wrongly-presumed-stale) break replaced
         # our lock, do NOT remove the new holder's file
         try:

@@ -23,6 +23,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# Queries whose float outputs are round()s of expressions the two engines
+# compute with DIFFERENT operation orders (Spark aggregate-fold cosine vs
+# DuckDB list_cosine_similarity; sqrt of a folded sum; percentile
+# interpolation; ratio formulas). Both engines are individually
+# deterministic, but a value landing exactly on a round(x, k) boundary can
+# flip the last digit between them at some SF/seed. For these, a mismatch
+# within one ulp of the last rounded digit is tolerated cell-wise.
+# Decimal-accumulated sums/avgs stay bit-exact — they are NOT listed here.
+FLOAT_TOL = {
+    "sim_topk_cosine": 1e-4, "sim_lsh_ann": 1e-4, "sim_ivf_ann": 1e-4,
+    "sim_knn_join": 1e-4, "sim_neardup_pairs": 1e-4,
+    "sim_label_centroid": 1e-4, "text_features": 1e-3,
+    "agg_percentiles": 1e-4, "decode_balance_delta": 1e-4,
+    "dedup_ngram_jaccard": 1e-3,
+}
+
+
 def norm(v):
     """Normalize a cell to a comparable string.
 
@@ -39,6 +56,26 @@ def norm(v):
             return "0.0"
         return repr(v)
     return str(v)
+
+
+def rows_close(srows, orows, tol):
+    """Cell-wise compare of two sorted row lists: strings must match
+    exactly; float-parseable cells may differ by <= tol (one ulp of the
+    last rounded digit). Sorting is by the normalized strings, so two
+    near-equal floats can land in swapped sort positions — treat each
+    column's multiset of parse-failures conservatively by falling back to
+    exact compare when a cell pair can't both parse as float."""
+    for a, b in zip(srows, orows):
+        for x, y in zip(a, b):
+            if x == y:
+                continue
+            try:
+                if abs(float(x) - float(y)) <= tol:
+                    continue
+            except ValueError:
+                pass
+            return False
+    return True
 
 
 def main():
@@ -82,6 +119,11 @@ def main():
             tuple(norm(v) for v in row)
             for row in odf[s_cols].itertuples(index=False, name=None)
         )
+        if srows != orows and name in FLOAT_TOL and rows_close(
+                srows, orows, FLOAT_TOL[name]):
+            print(f"{name:35s} OK-within-tol ({len(sdf)} rows, "
+                  f"tol={FLOAT_TOL[name]})")
+            continue
         if srows != orows:
             bad = next(i for i, (a, b) in enumerate(zip(srows, orows)) if a != b)
             print(f"{name:35s} VALUE MISMATCH at sorted row {bad}:")

@@ -84,6 +84,70 @@ def test_malformed_jsonl_lines_are_quarantined_not_dropped(spark, tmpdir_path):
     assert pipe.table.read().count() > 0
 
 
+def test_missing_delivery_seq_rows_are_quarantined(spark, tmpdir_path):
+    """A syntactically VALID JSON line that lacks (or nulls) delivery_seq
+    can never enter a watermark batch — it must be parked with a distinct
+    error tag, not silently vanish (the nothing-vanishes contract covers
+    more than non-JSON lines)."""
+    wal = generate_wal(spark, n_keys=40, n_partitions=2,
+                       corrupt_rate_permille=0)
+    jl_path = f"{tmpdir_path}/events_jsonl"
+    wal.write.json(jl_path)
+    n_events = wal.count()
+    with open(os.path.join(jl_path, "part-zz-noseq.json"), "w") as f:
+        f.write(json.dumps({"event_id": 999999, "op": "INSERT",
+                            "repo": "ghost", "path": "src/ghost.py",
+                            "payload": "AAAA"}) + "\n")
+        f.write(json.dumps({"event_id": 999998, "delivery_seq": None,
+                            "repo": "ghost2"}) + "\n")
+
+    # batchable stream excludes BOTH seq-less rows
+    assert read_jsonl_wal(spark, jl_path).count() == n_events
+    pipe = _make_pipe(spark, tmpdir_path, jl_path, "jsonl")
+    pipe.run()
+    q = {r["error"]: r for r in pipe.quarantine().collect()}
+    assert set(q) == {"missing_delivery_seq"}
+    rows = [r for r in pipe.quarantine().collect()]
+    assert len(rows) == 2
+    # payload carries a re-rendered line a redrive fix_fn can repair
+    assert all("ghost" in r["payload"] for r in rows)
+    # idempotent: a second scan parks nothing new
+    assert pipe.quarantine_malformed_source() == 0
+
+
+def test_streaming_jsonl_malformed_carries_raw_line(spark, tmpdir_path):
+    """Streaming parity with read_jsonl_wal's quarantine contract: a
+    non-JSON line must reach foreachBatch with its raw text in
+    _malformed (not as an anonymous all-NULL row) so the consumer can
+    park the original line."""
+    from ore_etl_spark.pipeline.continuous import stream_decoded
+
+    wal = generate_wal(spark, n_keys=30, n_partitions=2,
+                       corrupt_rate_permille=0)
+    jl_path = f"{tmpdir_path}/events_jsonl"
+    wal.write.json(jl_path)
+    with open(os.path.join(jl_path, "part-zz-bad.json"), "w") as f:
+        f.write("<<not json at all\n")
+
+    seen = {"malformed": [], "valid": 0}
+
+    def apply_fn(batch_df, epoch_id):
+        assert "_malformed" in batch_df.columns
+        # dead rows (can never be watermarked) carry their raw line —
+        # same predicate the batch path's quarantine uses
+        rows = batch_df.filter(F.col("delivery_seq").isNull()
+                               & F.col("_malformed").isNotNull()).collect()
+        seen["malformed"].extend(r["_malformed"] for r in rows)
+        seen["valid"] += batch_df.filter(F.col("is_valid")).count()
+
+    q = stream_decoded(spark, jl_path, wal_event_schema(),
+                       f"{tmpdir_path}/malckpt", apply_fn,
+                       events_format="jsonl")
+    q.awaitTermination(180)
+    assert seen["malformed"] == ["<<not json at all"]
+    assert seen["valid"] == wal.count()
+
+
 def test_debezium_envelopes_normalize_and_replay(spark, tmpdir_path):
     img = T.StructType([
         T.StructField("repo", T.StringType()),

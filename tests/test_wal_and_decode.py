@@ -73,6 +73,20 @@ def test_decode_matches_python_oracle(spark):
             assert (r["payload_version"], r["content"]) == oracle
 
 
+def test_unit_conversion_roundtrip(spark):
+    """D12 (SOL<->lamports x1e9): retired from the driver's 50-slot oracle
+    gate in round 4 (COVERAGE.md rotation policy) — pinned here instead.
+    Integer lamports round-trip back to the 6-decimal SOL value exactly."""
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.q_decode_unit_conversion(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out:
+        # sol_roundtrip is lamports/1e9 rounded HALF_UP to 6 decimals
+        assert abs(r["sol_roundtrip"] - r["lamports"] / 1e9) <= 5e-7
+
+
 def test_base58_roundtrip(spark):
     import os
 
