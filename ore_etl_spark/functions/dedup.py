@@ -93,11 +93,16 @@ def minhash_lsh_candidates(
     k_shingle: int = 3,
     n_hashes: int = 8,
     band_size: int = 2,
+    max_bucket_rows: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
     Returns (id_a, id_b, band) with id_a < id_b. Scale path: the join is
     an equi-join on (band, band_hash) — only same-bucket pairs shuffle.
+    ``max_bucket_rows`` guards the Σ|bucket|² cliff on low-entropy corpora
+    (e.g. millions of identical boilerplate docs collide on every band):
+    oversize buckets split by deterministic id hash, see
+    ``similarity.cap_band_buckets``. Normal corpora never hit the cap.
     """
     n_bands = n_hashes // band_size
     sig = minhash_signatures_agg(df, text_col, id_col, k_shingle, n_hashes)
@@ -116,6 +121,10 @@ def minhash_lsh_candidates(
             ])
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+    if max_bucket_rows is not None:
+        from .similarity import cap_band_buckets
+
+        bands = cap_band_buckets(bands, max_bucket_rows)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = a.join(
         b,
@@ -225,6 +234,7 @@ def simhash_radius_pairs(
     radius: int = 3,
     n_bands: int = 4,
     bits: int = 16,
+    max_bucket_rows: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs within hamming distance <= ``radius`` of a 16-bit
     SimHash — the banded candidate generation the plain signature-collision
@@ -238,6 +248,13 @@ def simhash_radius_pairs(
     so it rides through the band explode for free.
 
     Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= radius.
+
+    ``max_bucket_rows``: oversize-bucket guard (see
+    ``similarity.cap_band_buckets``). A bucket only exceeds the cap when
+    that many docs share a band key — at 16 bits that means a dense
+    cluster of (near-)identical signatures, where the split trades the
+    pigeonhole completeness WITHIN the monster bucket for a Σ|bucket|² bound;
+    under-cap buckets keep the exact radius-recall guarantee.
     """
     if radius >= n_bands:
         raise ValueError("need radius < n_bands for the pigeonhole guarantee")
@@ -256,6 +273,10 @@ def simhash_radius_pairs(
         ])).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"),
              F.col("bb.band_key").alias("band_key"))
+    if max_bucket_rows is not None:
+        from .similarity import cap_band_buckets
+
+        bands = cap_band_buckets(bands, max_bucket_rows)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -172,6 +172,42 @@ def lsh_bucket_ann(
     )
 
 
+def cap_band_buckets(bands: DataFrame, max_bucket_rows: int,
+                     id_col: str = "id") -> DataFrame:
+    """Band-capacity guard shared by every (band, band_key) blocker.
+
+    Buckets larger than ``max_bucket_rows`` are split into
+    ceil(count/cap) sub-buckets by a deterministic hash of the id —
+    extra planes/hashes cannot split a tight cluster of near-identical
+    rows (they collide on EVERY signature), so the split is by id,
+    bounding the candidate join's Σ|bucket|² at ~count×cap instead of
+    count². The oversize list is ≤ n/cap rows and broadcasts. Emitted
+    pairs from an oversize bucket become a deterministic subset; buckets
+    under the cap are byte-identical to the unguarded output (band_key
+    is cast to string so the guarded column has one type either way)."""
+    oversize = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") > max_bucket_rows)
+        .select("band", "band_key",
+                F.ceil(F.col("_bn") / F.lit(max_bucket_rows))
+                .cast("int").alias("_nsub"))
+    )
+    return (
+        bands.join(F.broadcast(oversize), ["band", "band_key"], "left")
+        .withColumn(
+            "band_key",
+            F.when(
+                F.col("_nsub").isNotNull(),
+                F.concat_ws("#", F.col("band_key").cast("string"),
+                            F.pmod(F.xxhash64(F.col(id_col)),
+                                   F.col("_nsub")).cast("string")),
+            ).otherwise(F.col("band_key").cast("string")),
+        )
+        .drop("_nsub")
+    )
+
+
 def lsh_band_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -179,15 +215,47 @@ def lsh_band_pairs(
     dim: int | None = None,
     n_bands: int = 8,
     band_bits: int = 2,
+    max_bucket_rows: int | None = 10_000,
+    target_bucket_rows: int | None = None,
+    approx_n: int | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing ANY LSH band (banded OR — high recall).
 
     Uses n_bands × band_bits hyperplanes; each band's bits form a bucket
     key; candidates are an equi-join on (band, band_key). Only the two id
     columns shuffle through the join — vectors are joined back by the
-    caller. Returns distinct (id_a, id_b) with id_a < id_b."""
+    caller. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    Band-capacity guard (round 4): the candidate join's cost is
+    Σ|bucket|², and with band_bits small relative to N a low-entropy
+    embedding set (every vector the same side of every plane) silently
+    degenerates toward N²/2^band_bits — the one quadratic cliff in the
+    dedup/ANN layer at 10⁹ docs. Two knobs, both deterministic:
+
+    - ``target_bucket_rows``: auto-size band_bits up from a rough row
+      count (``approx_n`` if given, else one ``df.count()`` job) so the
+      EXPECTED bucket is that size: band_bits_eff =
+      max(band_bits, ceil(log2(n / target))). Helps when vectors are
+      diverse but the caller under-sized the bits.
+    - ``max_bucket_rows`` (on by default): a hard per-(band, band_key)
+      cap. Buckets over the cap are split into ceil(count/cap) sub-buckets
+      by a deterministic id hash — extra planes cannot split a tight
+      cluster (near-identical vectors land the same side of EVERY plane),
+      so the split is by id, trading within-monster-bucket recall for a
+      Σ|bucket|² bound of ~count×cap instead of count². The oversize
+      bucket list is ≤ n/cap rows, broadcast back onto the band table.
+      Pairs emitted by an oversize bucket become a deterministic subset;
+      normal-entropy data never hits the cap (buckets ≪ cap), so results
+      are unchanged — verified by the recall gates and the SQL oracles.
+    """
     if dim is None:
         raise ValueError("dim is required (hyperplanes are literal arrays)")
+    if target_bucket_rows is not None:
+        import math
+
+        n = approx_n if approx_n is not None else df.count()
+        need = math.ceil(math.log2(max(1.0, n / target_bucket_rows)))
+        band_bits = max(band_bits, int(need))
     bands = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array(*[
@@ -202,6 +270,8 @@ def lsh_band_pairs(
         ])).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"),
              F.col("bb.band_key").alias("band_key"))
+    if max_bucket_rows is not None:
+        bands = cap_band_buckets(bands, max_bucket_rows)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -313,6 +383,7 @@ def knn_join(
     n_bands: int = 2,
     band_bits: int = 2,
     round_to: int = 6,
+    max_bucket_rows: int | None = 10_000,
 ) -> DataFrame:
     """Per-row k nearest neighbors — the curation workhorse ("for EVERY
     document, its k nearest") — without ever materializing all pairs.
@@ -329,7 +400,8 @@ def knn_join(
     if dim is None:
         raise ValueError("dim is required (hyperplanes are literal arrays)")
     cand = lsh_band_pairs(df, vec_col, id_col, dim=dim,
-                          n_bands=n_bands, band_bits=band_bits)
+                          n_bands=n_bands, band_bits=band_bits,
+                          max_bucket_rows=max_bucket_rows)
     # symmetrize: each undirected candidate pair feeds both directions
     sym = cand.select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr")) \
         .unionAll(cand.select(F.col("id_b").alias("id"),
@@ -397,6 +469,7 @@ def cosine_pairs_threshold(
     dim: int | None = None,
     n_bands: int = 8,
     band_bits: int = 2,
+    max_bucket_rows: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above threshold, blocked to avoid
     all-pairs.
@@ -418,7 +491,8 @@ def cosine_pairs_threshold(
         )
         return out.filter(F.col("cos_sim") >= threshold)
     cand = lsh_band_pairs(df, vec_col, id_col, dim=dim,
-                          n_bands=n_bands, band_bits=band_bits)
+                          n_bands=n_bands, band_bits=band_bits,
+                          max_bucket_rows=max_bucket_rows)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     joined = cand.join(a, "id_a").join(b, "id_b")

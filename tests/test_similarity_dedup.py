@@ -263,6 +263,104 @@ def _union_find(edges):
     return {n: find(n) for n in parent}
 
 
+# ---------------------------------------------------------------------------
+# Band-capacity guard (round 4): the Σ|bucket|² cliff on low-entropy inputs
+# ---------------------------------------------------------------------------
+
+def _clustered_vecs(n, dim, seed=11):
+    """Adversarial same-bucket set: one tight cluster — every vector lands
+    the same side of every hyperplane, so ALL n rows share one (band,
+    band_key) bucket and the unguarded candidate join is C(n,2)."""
+    rnd = random.Random(seed)
+    base = [rnd.uniform(-1, 1) for _ in range(dim)]
+    return [[x + 1e-9 * (i + 1) for x in base] for i in range(n)]
+
+
+def test_band_capacity_guard_bounds_low_entropy_candidates(spark):
+    from ore_etl_spark.functions.similarity import lsh_band_pairs
+
+    n, dim, cap = 300, 8, 40
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_clustered_vecs(n, dim))],
+        "vec_id long, embedding array<double>",
+    ).coalesce(4)
+    unguarded = lsh_band_pairs(df, dim=dim, n_bands=2, band_bits=2,
+                               max_bucket_rows=None).count()
+    assert unguarded == n * (n - 1) // 2  # the quadratic cliff, measured
+    guarded = lsh_band_pairs(df, dim=dim, n_bands=2, band_bits=2,
+                             max_bucket_rows=cap).count()
+    # ceil(n/cap) sub-buckets of ~cap rows each: Σ|bucket|² is ~n×cap per
+    # band, not n² — 2×n×cap leaves ~2.7x headroom for hash-salt skew and
+    # is still well under the quadratic cliff
+    bound = 2 * n * cap
+    assert 0 < guarded <= bound < unguarded
+    # determinism: same input, same subset
+    again = lsh_band_pairs(df, dim=dim, n_bands=2, band_bits=2,
+                           max_bucket_rows=cap).count()
+    assert again == guarded
+
+
+def test_band_capacity_guard_noop_below_cap(spark):
+    """Normal-entropy data under the cap must be byte-identical to the
+    unguarded output (the oracle-gated queries rely on this)."""
+    from ore_etl_spark.functions.similarity import lsh_band_pairs
+
+    dim = 16
+    vecs = _random_vecs(120, dim, seed=3)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    base = {(r["id_a"], r["id_b"]) for r in
+            lsh_band_pairs(df, dim=dim, n_bands=4, band_bits=2,
+                           max_bucket_rows=None).collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in
+              lsh_band_pairs(df, dim=dim, n_bands=4, band_bits=2,
+                             max_bucket_rows=10_000).collect()}
+    assert base == capped and len(base) > 0
+
+
+def test_band_capacity_auto_bits_from_n(spark):
+    """target_bucket_rows auto-sizes band_bits: with 256 diverse vectors
+    and a 16-row target the effective bits grow to ceil(log2(256/16))=4,
+    shrinking expected bucket population (and the candidate count) versus
+    the caller's 1-bit request."""
+    from ore_etl_spark.functions.similarity import lsh_band_pairs
+
+    dim = 16
+    vecs = _random_vecs(256, dim, seed=9)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    coarse = lsh_band_pairs(df, dim=dim, n_bands=2, band_bits=1,
+                            max_bucket_rows=None).count()
+    auto = lsh_band_pairs(df, dim=dim, n_bands=2, band_bits=1,
+                          max_bucket_rows=None, target_bucket_rows=16,
+                          approx_n=256).count()
+    assert 0 < auto < coarse
+
+
+def test_minhash_and_simhash_inherit_bucket_cap(spark):
+    """The dedup blockers share the guard: a corpus of identical docs
+    collides on every band; the cap bounds their candidate joins too."""
+    from ore_etl_spark.functions.dedup import (minhash_lsh_candidates,
+                                               simhash_radius_pairs)
+
+    n, cap = 200, 25
+    rows = [(i, "the same boilerplate text repeated everywhere forever")
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = n * (n - 1) // 2
+    mh = minhash_lsh_candidates(df, max_bucket_rows=cap).count()
+    sh = simhash_radius_pairs(df, max_bucket_rows=cap).count()
+    nsub = -(-n // cap)
+    per_band_bound = nsub * (2 * cap) * (2 * cap - 1) // 2
+    assert 0 < mh <= 4 * per_band_bound < full * 4
+    assert mh < full  # strictly fewer than the quadratic cliff
+    assert 0 < sh < full
+
+
 def test_connected_components_matches_union_find(spark):
     """Large-star/small-star CC vs a driver union-find on a mixed fixture:
     a long chain (log-round convergence), a clique, a star, an isolated
