@@ -381,6 +381,40 @@ def test_sorted_compaction_enables_file_skipping(spark, tmpdir_path):
     assert got == exp and len(got) == 21
 
 
+def test_distributed_bounds_harvest_matches_driver_path(spark, tmpdir_path):
+    """Round-4: the footer-bounds harvest can run as one Spark job over
+    the written file list (executors share the table's storage) instead of
+    a driver pyarrow loop — the driver's commit tail then stays O(1) in
+    file count. Both paths call the identical per-file function; the refs
+    they produce must be byte-identical, and the distributed table must
+    still file-skip."""
+    rows = [(f"r{i % 7}", f"p{i}", i + 1, 0, f"v{i}", "INSERT")
+            for i in range(200)]
+
+    tbl_drv = make_table(spark, f"{tmpdir_path}/drv", n_buckets=4)
+    tbl_drv.stats_harvest_mode = "driver"
+    tbl_drv.merge(df(spark, rows), "load")
+    tbl_dist = make_table(spark, f"{tmpdir_path}/dist", n_buckets=4)
+    tbl_dist.stats_harvest_mode = "distributed"
+    tbl_dist.merge(df(spark, rows), "load")
+
+    def norm_refs(snap):
+        return [
+            {k: v for k, v in r.items() if k != "path"}
+            for r in sorted(snap["refs"], key=lambda r: r["bucket"])
+        ]
+
+    a, b = norm_refs(tbl_drv.snapshot()), norm_refs(tbl_dist.snapshot())
+    # file names embed job-specific part numbers; compare bounds shape
+    for ra, rb in zip(a, b):
+        assert ra["bucket"] == rb["bucket"]
+        assert ra.get("bounds") == rb.get("bounds")
+        assert ra.get("bounds"), ra  # bounds actually harvested
+    got = tbl_dist.read_where("commit_seq", lo=10, hi=20).count()
+    exp = tbl_dist.read().filter("commit_seq between 10 and 20").count()
+    assert got == exp > 0
+
+
 def test_vacuum_grace_period_protects_inflight_attempts(spark, tmpdir_path):
     """Round-3: a concurrent writer's attempt dir (files written, CAS not
     yet landed) is indistinguishable from an aborted commit — vacuum must
