@@ -74,6 +74,7 @@ class CdcApplyPipeline:
         compact_depth: int | None = None,
         mor_fast_path: bool = False,
         events_format: str = "parquet",
+        source_schema: T.StructType | None = None,
     ):
         """``mode``: 'cow' (copy-on-write conditional MERGE — read-optimized)
         or 'mor' (merge-on-read delta append — write-optimized; bytes
@@ -88,6 +89,13 @@ class CdcApplyPipeline:
         if events_format not in ("parquet", "jsonl"):
             raise ValueError(f"unknown events_format {events_format!r}")
         self.events_format = events_format
+        # wire-path schema evolution seam: a JSONL WAL carrying additive
+        # columns (e.g. a Debezium stream whose upstream ALTER TABLE added
+        # a field — from_debezium passes it through) is read with this
+        # wider schema; list the new column in ``optional_cols`` and the
+        # MERGE lands it in the target additively (int→long widening via
+        # MergeTable._evolve_schema). None = the engine's base WAL schema.
+        self.source_schema = source_schema
         self.spark = spark
         self.events_path = events_path
         self.table = table
@@ -108,7 +116,8 @@ class CdcApplyPipeline:
         if self.events_format == "jsonl":
             from ..sources.cdc_json import read_jsonl_wal
 
-            return read_jsonl_wal(self.spark, self.events_path)
+            return read_jsonl_wal(self.spark, self.events_path,
+                                  schema=self.source_schema)
         return self.spark.read.parquet(self.events_path)
 
     def delivery_range(self) -> tuple[int, int]:
@@ -138,6 +147,7 @@ class CdcApplyPipeline:
         from ..sources.cdc_json import read_jsonl_wal
 
         bad = read_jsonl_wal(self.spark, self.events_path,
+                             schema=self.source_schema,
                              keep_malformed=True).filter(
             F.col("delivery_seq").isNull())
         raw_cols = [c for c in bad.columns if c != "_malformed"]

@@ -114,9 +114,27 @@ def from_debezium(envelopes: DataFrame) -> DataFrame:
     message) are dropped here: they carry no row images, so letting them
     through would insert null-keyed garbage. Row-level truncate handling,
     if wanted, is a caller-side ``update_where``/delete pass.
+
+    Schema evolution through the wire path (round 4): any image-struct
+    field beyond the five the payload encoder consumes (repo, path,
+    commit, lang, content) is passed through as a top-level column — the
+    reference's dynamic ``parsedData`` surface
+    (/root/reference/src/types/schemas.ts:10), where an upstream ALTER
+    TABLE simply starts shipping a new ``after`` field. Downstream,
+    ``CdcApplyPipeline(optional_cols=...)`` forwards present extras into
+    the MERGE and ``MergeTable._evolve_schema`` lands them additively
+    (and widens int→long etc.) — so a new wire column reaches the target
+    table without a code change, instead of being silently dropped.
     """
     envelopes = envelopes.filter(F.col("op").isin("c", "u", "d", "r"))
     img = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    known = {"repo", "path", "commit", "lang", "content"}
+    # before/after must share one struct type for the when() above to
+    # resolve, so the after side's field list IS the image field list
+    after_t = envelopes.schema["after"].dataType
+    extras = sorted(
+        f.name for f in after_t.fields if f.name not in known
+    ) if isinstance(after_t, T.StructType) else []
     op = (
         F.when(F.col("op").isin("c", "r"), F.lit("INSERT"))
         .when(F.col("op") == "u", F.lit("UPDATE"))
@@ -149,4 +167,5 @@ def from_debezium(envelopes: DataFrame) -> DataFrame:
                            F.current_timezone())
         .cast("timestamp_ntz").alias("ts"),
         F.length(content).cast("long").alias("size_bytes"),
+        *[img[n].alias(n) for n in extras],
     )

@@ -213,6 +213,106 @@ def test_debezium_envelopes_normalize_and_replay(spark, tmpdir_path):
     assert dead == {("bob", "src/bob.py")}
 
 
+def _dbz_env_schema(stars_type):
+    img = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("stars", stars_type),
+    ])
+    return T.StructType([
+        T.StructField("op", T.StringType()),
+        T.StructField("before", img),
+        T.StructField("after", img),
+        T.StructField("source", T.StructType([
+            T.StructField("commit_seq", T.LongType()),
+            T.StructField("event_seq", T.LongType()),
+            T.StructField("partition_id", T.IntegerType()),
+        ])),
+        T.StructField("delivery_seq", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+
+
+def test_debezium_additive_field_lands_in_target_and_widens(spark, tmpdir_path):
+    """Wire-path schema evolution (SURVEY §1.2/§7, reference's dynamic
+    parsedData surface): an upstream ALTER TABLE that starts shipping a
+    new Debezium `after` field must land it in the target additively (not
+    silently drop it) and widen int→long across streams — batch AND
+    streaming paths."""
+    from ore_etl_spark.sources.cdc_json import wal_event_schema
+
+    def envs(schema, stars_val, ver):
+        rows = [("c", None,
+                 ("alice", "src/alice.py", f"c{ver}", "py", f"v{ver}",
+                  stars_val),
+                 (ver, 0, 0), ver, 1_700_000_000_000 + ver)]
+        return spark.createDataFrame(rows, schema)
+
+    # phase 1: envelopes carry an additive int field `stars`
+    wal1 = from_debezium(envs(_dbz_env_schema(T.IntegerType()), 7, 1))
+    assert "stars" in wal1.columns  # passed through, not dropped
+    jl1 = f"{tmpdir_path}/dbz1"
+    wal1.write.json(jl1)
+    src_schema1 = T.StructType(
+        list(wal_event_schema().fields)
+        + [T.StructField("stars", T.IntegerType())])
+    tbl = MergeTable.create(
+        spark, f"{tmpdir_path}/evo_target", target_schema(),
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=4,
+    )
+    pipe1 = CdcApplyPipeline(
+        spark, jl1, tbl, f"{tmpdir_path}/evo_state1",
+        events_format="jsonl", source_schema=src_schema1,
+        optional_cols=("size_bytes", "stars"))
+    pipe1.run()
+    got = tbl.read().collect()
+    assert dict(tbl.read().dtypes)["stars"] == "int"
+    assert [r["stars"] for r in got] == [7]
+
+    # phase 2: upstream widened stars to long — target widens, data lands
+    big = 5_000_000_000
+    wal2 = from_debezium(envs(_dbz_env_schema(T.LongType()), big, 2))
+    jl2 = f"{tmpdir_path}/dbz2"
+    wal2.write.json(jl2)
+    src_schema2 = T.StructType(
+        list(wal_event_schema().fields)
+        + [T.StructField("stars", T.LongType())])
+    pipe2 = CdcApplyPipeline(
+        spark, jl2, tbl, f"{tmpdir_path}/evo_state2",
+        events_format="jsonl", source_schema=src_schema2,
+        optional_cols=("size_bytes", "stars"))
+    pipe2.run()
+    assert dict(tbl.read().dtypes)["stars"] == "bigint"
+    assert [r["stars"] for r in
+            tbl.read().orderBy("commit_seq").collect()] == [big]
+
+    # streaming leg: the same additive stream through readStream +
+    # foreachBatch lands the new column too
+    from ore_etl_spark.pipeline.continuous import stream_decoded
+
+    tbl_s = MergeTable.create(
+        spark, f"{tmpdir_path}/evo_target_s", target_schema(),
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=4,
+    )
+    cols = [f.name for f in target_schema().fields] + ["op", "stars"]
+
+    def apply_fn(batch_df, epoch_id):
+        valid = batch_df.filter(F.col("is_valid")).select(*cols)
+        tbl_s.merge(valid, batch_id=f"evo-epoch-{epoch_id}")
+
+    q = stream_decoded(spark, jl1, src_schema1,
+                       f"{tmpdir_path}/evockpt", apply_fn,
+                       events_format="jsonl")
+    q.awaitTermination(180)
+    assert dict(tbl_s.read().dtypes)["stars"] == "int"
+    assert [r["stars"] for r in tbl_s.read().collect()] == [7]
+
+
 def test_malformed_parking_is_idempotent_across_redrive(spark, tmpdir_path):
     """A parked malformed line that redrive() has already advanced (or
     dead-lettered) must NOT be re-parked at attempts=1 by the next run()
