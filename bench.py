@@ -223,17 +223,32 @@ def run_incremental(spark, wal_dir: str, work_dir: str, n_keys: int) -> dict:
     return out
 
 
-def run_analytics(spark, sf_dir: str) -> dict:
+# best-of-k per analytics query: the round-3 artifact carried one sample
+# per query, taken at loadavg 13-25 on 32 CPUs — co-tenant noise
+# manufactured phantom regressions (pricing_summary 0.42 -> 1.18 s with
+# zero code change). The apply phase already records trials; now the
+# query phase does too.
+QUERY_TRIALS = int(os.environ.get("BENCH_QUERY_TRIALS", "3"))
+
+
+def run_analytics(spark, sf_dir: str) -> tuple[dict, dict]:
+    """Per-query best-of-k walls plus full per-trial telemetry."""
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    out = {}
+    out, noise = {}, {}
     for name in ANALYTICS_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
-    return out
+        walls = []
+        load0 = _loadavg()
+        for _ in range(max(1, QUERY_TRIALS)):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            walls.append(round(time.time() - t0, 3))
+        out[name] = min(walls)
+        noise[name] = {"trials": walls,
+                       "loadavg": {"before": load0, "after": _loadavg()}}
+    return out, noise
 
 
 def bench_once(cpus: int, wal_dir: str | None, keep_json_only: bool = False,
@@ -257,13 +272,14 @@ def bench_once(cpus: int, wal_dir: str | None, keep_json_only: bool = False,
                      if "cow" in modes else None)
         apply_mor = (run_apply(spark, wal_dir, work, n_events, BENCH_BATCHES, "mor")
                      if "mor" in modes else None)
-        queries = {}
+        queries, query_noise = {}, {}
         if not keep_json_only:
-            queries = run_analytics(spark, SF_DIR)
+            queries, query_noise = run_analytics(spark, SF_DIR)
             queries.update(run_incremental(spark, wal_dir, work,
                                            n_keys or BENCH_KEYS))
         return {"cpus": cpus, "apply": apply_mor or apply_cow,
-                "apply_cow": apply_cow, "queries": queries}
+                "apply_cow": apply_cow, "queries": queries,
+                "query_noise": query_noise}
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -273,6 +289,9 @@ def main():
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--scaling", action="store_true",
                     help="run local[N] vs local[4N] and write BENCH/BASELINE.md")
+    ap.add_argument("--writers", action="store_true",
+                    help="writer-scaling curve: 1/2/4 concurrent backfill "
+                         "workers per sink mode, spliced into BENCH/BASELINE.md")
     ap.add_argument("--wal-dir", default=None,
                     help="pre-generated WAL parquet (for scaling subprocesses)")
     ap.add_argument("--subprocess-json", action="store_true",
@@ -286,6 +305,10 @@ def main():
 
     if args.scaling:
         run_scaling(args)
+        return
+
+    if args.writers:
+        run_writers(args)
         return
 
     res = bench_once(args.cpus, args.wal_dir)
@@ -311,6 +334,7 @@ def main():
             "cow_trial_loadavg": cow.get("trial_loadavg"),
             "mor_trial_loadavg": mor.get("trial_loadavg"),
             "harvest_stats": cow.get("harvest_stats"),
+            "query_trials": res.get("query_noise"),
         },
     }))
 
@@ -356,6 +380,132 @@ def run_scaling(args):
     shutil.rmtree(os.path.dirname(wal_dir), ignore_errors=True)
 
 
+def _splice_report(path: str, marker: str, section: str) -> None:
+    """Write ``section`` into ``path`` between ``<!-- {marker}:begin/end -->``
+    comments, preserving everything outside them. A stray --scaling /
+    --writers invocation can therefore never eat the manually-curated
+    sections (incremental, read-side, measurement history) — the round-3
+    failure mode where the whole file was overwritten."""
+    begin, end = f"<!-- {marker}:begin -->", f"<!-- {marker}:end -->"
+    block = f"{begin}\n{section.rstrip()}\n{end}\n"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if os.path.exists(path):
+        with open(path) as f:
+            cur = f.read()
+    else:
+        cur = ""
+    if begin in cur and end in cur:
+        head, rest = cur.split(begin, 1)
+        _, tail = rest.split(end, 1)
+        out = head + block + tail.lstrip("\n")
+    elif cur:
+        out = cur.rstrip() + "\n\n" + block
+    else:
+        out = block
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        f.write(out)
+    os.replace(tmp, path)
+
+
+def run_writers(args):
+    """Writer-scaling curve: the SAME WAL backfilled by 1/2/4 concurrent
+    chunk workers per sink mode (reference parity: concurrency=4,
+    /root/reference/src/config/index.ts:25-29) — the 10^10-event ingest
+    shape. MOR delta appends always rebase in the CAS commit, so writers
+    contend only on the snapshot pointer; COW rebases only when
+    bucket-disjoint, so overlapping chunk merges recompute under
+    contention — the curve shows both. Every point's final table state is
+    fingerprinted (count + order-free xxhash fold) and must converge to
+    the same value, or the run aborts."""
+    from pyspark.sql import functions as F
+
+    from ore_etl_spark.pipeline.backfill import BackfillRunner
+    from ore_etl_spark.session import get_spark
+
+    keys = int(os.environ.get("BENCH_WRITERS_KEYS", "200000"))
+    n_chunks = int(os.environ.get("BENCH_WRITERS_CHUNKS", "16"))
+    spark = get_spark("bench-writers", cpus=args.cpus,
+                      shuffle_partitions=max(args.cpus * 2, 16),
+                      extra_conf=bench_conf())
+    work_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="ore_writers_", dir=work_root)
+
+    def fingerprint(tbl):
+        row = tbl.read().agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(repo, path, commit_seq, event_seq, "
+                   "content_sha256))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    try:
+        wal_dir = f"{work}/wal"
+        n_events = gen_wal(spark, wal_dir, keys)
+        warmup_apply(spark, work)
+        points = []
+        fps = set()
+        for mode in ("mor", "cow"):
+            for w in (1, 2, 4):
+                wdir = f"{work}/{mode}_w{w}"
+                pipe = _make_pipeline(spark, wal_dir, wdir, mode=mode)
+                pipe.table.harvest_stats = HARVEST_STATS
+                lo, hi = pipe.delivery_range()
+                runner = BackfillRunner(
+                    pipe, f"{wdir}/ledger.json",
+                    chunk_size=max(1, (hi - lo) // n_chunks + 1),
+                    stale_after_s=None)
+                load0 = _loadavg()
+                t0 = time.time()
+                runner.run_concurrent(n_workers=w)
+                wall = time.time() - t0
+                fp = fingerprint(pipe.table)
+                fps.add(fp)
+                points.append({
+                    "mode": mode, "workers": w, "wall_sec": round(wall, 3),
+                    "events_per_sec": round(n_events / wall, 1),
+                    "fingerprint": list(fp),
+                    "loadavg": {"before": load0, "after": _loadavg()},
+                })
+                shutil.rmtree(wdir, ignore_errors=True)
+        assert len(fps) == 1, f"writer points diverged: {fps}"
+
+        rows = "\n".join(
+            f"| {p['mode'].upper()} | {p['workers']} | {p['wall_sec']} | "
+            f"{p['events_per_sec']} |" for p in points)
+        base = {(p["mode"]): p for p in points if p["workers"] == 1}
+        speedups = {
+            f"{p['mode']}_x{p['workers']}": round(
+                p["events_per_sec"] / base[p["mode"]]["events_per_sec"], 2)
+            for p in points}
+        report_path = os.environ.get("BENCH_REPORT_PATH", "BENCH/BASELINE.md")
+        _splice_report(report_path, "writer-scaling", f"""## Multi-writer scaling (concurrent backfill, CAS commits)
+
+Same {n_events}-event WAL, {n_chunks} ledger chunks, 1/2/4 concurrent
+chunk workers per sink mode (reference parity: concurrency=4). Every
+point's final table fingerprint (row count + order-free xxhash fold over
+key/version/sha) converged to the same value — concurrency changes wall
+time only, never state. Workers share one local[{args.cpus}] JVM, so the
+scaling headroom is the serial driver/commit tail a single worker leaves
+idle, not extra hardware; on a real cluster each writer is its own
+driver and the CAS contention pattern is what transfers.
+
+| sink | workers | wall (s) | ev/s |
+|---|---|---|---|
+{rows}
+
+Speedups vs 1 worker: {json.dumps(speedups)}. MOR appends always rebase
+(pointer-only contention); COW rewrites conflict on overlapping buckets
+and recompute under the optimistic CAS — the expected contention cliff.
+""")
+        print(json.dumps({
+            "metric": "writer_scaling", "unit": "events/sec",
+            "n_events": n_events, "points": points, "speedups": speedups,
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def write_scaling_report(results: dict, n: int, n4: int, n_events: int,
                          path: str = "BENCH/BASELINE.md") -> None:
     t_n = results[n]["apply"]["events_per_sec"]
@@ -385,9 +535,7 @@ executor NODES at 4x count bring 4x memory bandwidth, so the {n}->{n4}
 figure is the honest proxy for multi-node scaling and the {n4}->{hi}
 figure is a hardware ceiling, not an engine property.
 """
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "w") as f:
-        f.write(f"""# BENCH — scaling-efficiency evidence (north rule)
+    _splice_report(path, "scaling-report", f"""# BENCH — scaling-efficiency evidence (north rule)
 
 Protocol: identical CDC apply job (vectorized payload decode -> keyed
 delta upsert -> atomic snapshot commit, {BENCH_BATCHES} micro-batches +
