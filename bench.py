@@ -394,7 +394,9 @@ def _splice_report(path: str, marker: str, section: str) -> None:
             cur = f.read()
     else:
         cur = ""
-    if begin in cur and end in cur:
+    # order-checked: `end` must appear AFTER `begin`, else (hand-mangled
+    # markers) fall through to append rather than crash post-measurement
+    if begin in cur and end in cur.split(begin, 1)[1]:
         head, rest = cur.split(begin, 1)
         _, tail = rest.split(end, 1)
         out = head + block + tail.lstrip("\n")

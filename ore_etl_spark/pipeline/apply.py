@@ -140,8 +140,14 @@ class CdcApplyPipeline:
         ``payload`` so a ``redrive(fix_fn=...)`` can repair them) before
         processing. For missing-seq rows the original line isn't retained
         by the JSON reader, so the payload is a deterministic ``to_json``
-        re-render of the parsed fields. Idempotent: rewrites one fixed
-        quarantine sub-dir from the source each call. Returns the count."""
+        re-render of the parsed fields. Dedup is BY CONTENT (the payload
+        column is the quarantine's idempotency key): two source lines that
+        re-render identically — e.g. an explicit ``\"delivery_seq\": null``
+        vs the field omitted, or field-order variants — park as ONE row,
+        so a redrive repairs/re-injects one event, not duplicates (same
+        rule verbatim-duplicate malformed raw lines already follow).
+        Idempotent: rewrites one fixed quarantine sub-dir from the source
+        each call. Returns the count of newly parked rows."""
         if self.events_format != "jsonl":
             return 0
         from ..sources.cdc_json import read_jsonl_wal

@@ -135,6 +135,14 @@ def from_debezium(envelopes: DataFrame) -> DataFrame:
     extras = sorted(
         f.name for f in after_t.fields if f.name not in known
     ) if isinstance(after_t, T.StructType) else []
+    # an upstream column named like a fixed WAL output column (ts, op,
+    # size_bytes... all common DB names) must not produce a duplicate
+    # column — alias the passthrough deterministically instead of
+    # crashing downstream with an ambiguous reference
+    out_cols = {n for n, _ in _WAL_FIELDS}
+    extra_cols = [
+        img[n].alias(f"src_{n}" if n in out_cols else n) for n in extras
+    ]
     op = (
         F.when(F.col("op").isin("c", "r"), F.lit("INSERT"))
         .when(F.col("op") == "u", F.lit("UPDATE"))
@@ -167,5 +175,5 @@ def from_debezium(envelopes: DataFrame) -> DataFrame:
                            F.current_timezone())
         .cast("timestamp_ntz").alias("ts"),
         F.length(content).cast("long").alias("size_bytes"),
-        *[img[n].alias(n) for n in extras],
+        *extra_cols,
     )

@@ -313,6 +313,42 @@ def test_debezium_additive_field_lands_in_target_and_widens(spark, tmpdir_path):
     assert [r["stars"] for r in tbl_s.read().collect()] == [7]
 
 
+def test_debezium_extra_field_colliding_with_wal_column_is_aliased(spark):
+    """An upstream image column named like a fixed WAL output column (ts,
+    op, size_bytes — common DB names) must not produce a duplicate column;
+    it passes through under a deterministic src_ prefix."""
+    img = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("ts", T.StringType()),       # collides with WAL ts
+        T.StructField("rating", T.IntegerType()),  # clean extra
+    ])
+    schema = T.StructType([
+        T.StructField("op", T.StringType()),
+        T.StructField("before", img),
+        T.StructField("after", img),
+        T.StructField("source", T.StructType([
+            T.StructField("commit_seq", T.LongType()),
+            T.StructField("event_seq", T.LongType()),
+            T.StructField("partition_id", T.IntegerType()),
+        ])),
+        T.StructField("delivery_seq", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+    envs = spark.createDataFrame(
+        [("c", None, ("r", "p", "c1", "py", "v1", "2020-01-01", 5),
+          (1, 0, 0), 1, 1_700_000_000_000)], schema)
+    wal = from_debezium(envs)
+    assert wal.columns.count("ts") == 1
+    row = wal.collect()[0]
+    assert row["src_ts"] == "2020-01-01" and row["rating"] == 5
+    wal.write.json  # resolvable plan, no ambiguous reference
+    assert wal.count() == 1
+
+
 def test_malformed_parking_is_idempotent_across_redrive(spark, tmpdir_path):
     """A parked malformed line that redrive() has already advanced (or
     dead-lettered) must NOT be re-parked at attempts=1 by the next run()
