@@ -1498,6 +1498,51 @@ class MergeTable:
         )
 
     # -------------------------------------------------------- maintenance
+    def rollback(self, version: int, batch_id: str | None = None) -> dict:
+        """Roll the table back to the STATE of an older snapshot (Iceberg
+        rollback_to_snapshot parity) by committing a NEW version that
+        copies its refs, bucket spec, and schema pointer — history stays
+        append-only, so time travel to the undone versions keeps working
+        and concurrent writers are fenced by the same CURRENT lock the
+        data commits use (an in-flight CAS lands before or after the
+        rollback, never interleaved).
+
+        The applied-batch manifest is restored to the TARGET's: batches
+        committed after ``version`` are undone, so replaying their
+        delivery ranges re-applies them (the CDC repair story) instead of
+        being skipped as already-committed. Callers driving a pipeline
+        should rewind its checkpoint hwm accordingly. Idempotent by
+        ``batch_id`` (default ``rollback:v{version}``). No data files are
+        written or deleted; the undone versions' files remain until
+        ``expire_snapshots`` + ``vacuum``."""
+        from ..state.stores import _file_lock
+
+        target = self.snapshot_at(version)
+        batch_id = batch_id or f"rollback:v{version}"
+        with _file_lock(os.path.join(self.root, "CURRENT")):
+            cur = self.snapshot()
+            if self.is_committed(batch_id, cur):
+                return cur
+            window = cur.get("batch_window", 256)
+            new_snap = {
+                **target,
+                # schemas map is append-only: keep the superset so any
+                # later roll-FORWARD re-validates against known ids
+                "schemas": {**target["schemas"], **cur["schemas"]},
+                "version": cur["version"] + 1,
+                "parent": cur["version"],
+                "batch_id": batch_id,
+                "applied_batch_ids":
+                    (target["applied_batch_ids"] + [batch_id])[-window:],
+                "n_batches_total": cur.get("n_batches_total", 0) + 1,
+            }
+            self._write_snapshot(new_snap)
+        self._append_lineage([{
+            "batch_id": batch_id, "version": new_snap["version"],
+            "rollback_to": version,
+        }])
+        return new_snap
+
     def expire_snapshots(self, keep_last: int = 10) -> list[int]:
         """Drop snapshot JSONs older than the newest ``keep_last`` versions
         (Iceberg expire_snapshots parity). Time travel to an expired version

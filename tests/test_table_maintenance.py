@@ -381,6 +381,41 @@ def test_sorted_compaction_enables_file_skipping(spark, tmpdir_path):
     assert got == exp and len(got) == 21
 
 
+def test_rollback_restores_state_and_allows_replay(spark, tmpdir_path):
+    """Iceberg rollback parity (round 4): a new version copies the old
+    snapshot's state; history stays append-only; undone batches leave the
+    applied manifest so their delivery ranges can re-apply; writes resume
+    on top of the rolled-back state."""
+    tbl = make_table(spark, tmpdir_path, n_buckets=4)
+    tbl.merge(df(spark, [("a", "x", 1, 0, "v1", "INSERT")]), "b1")
+    v_good = tbl.version
+    tbl.merge(df(spark, [("a", "x", 2, 0, "bad", "UPDATE"),
+                         ("b", "y", 1, 0, "junk", "INSERT")]), "b2")
+    v_bad = tbl.version
+
+    snap = tbl.rollback(v_good)
+    assert snap["version"] == v_bad + 1  # forward history, not erased
+    got = {(r["repo"], r["path"]): r["content"] for r in tbl.read().collect()}
+    assert got == {("a", "x"): "v1"}
+    # time travel to the undone version still works
+    assert {r["content"] for r in
+            tbl.read(version=v_bad).collect()} == {"bad", "junk"}
+    # idempotent: same rollback batch-id is a no-op
+    assert tbl.rollback(v_good)["version"] == snap["version"]
+
+    # the undone batch is OUT of the manifest -> its range can re-apply
+    assert not tbl.is_committed("b2")
+    tbl.merge(df(spark, [("a", "x", 2, 0, "fixed", "UPDATE")]), "b2")
+    got = {(r["repo"], r["path"]): r["content"] for r in tbl.read().collect()}
+    assert got == {("a", "x"): "fixed"}
+
+    # maintenance after rollback: current state's files survive vacuum
+    tbl.expire_snapshots(keep_last=2)
+    tbl.vacuum(min_age_s=0)
+    got = {(r["repo"], r["path"]): r["content"] for r in tbl.read().collect()}
+    assert got == {("a", "x"): "fixed"}
+
+
 def test_distributed_bounds_harvest_matches_driver_path(spark, tmpdir_path):
     """Round-4: the footer-bounds harvest can run as one Spark job over
     the written file list (executors share the table's storage) instead of
