@@ -298,6 +298,14 @@ def test_band_capacity_guard_bounds_low_entropy_candidates(spark):
     again = lsh_band_pairs(df, dim=dim, n_bands=2, band_bits=2,
                            max_bucket_rows=cap).count()
     assert again == guarded
+    # soundness: the guard can only DROP candidates, never invent them
+    g = {(r["id_a"], r["id_b"]) for r in
+         lsh_band_pairs(df, dim=dim, n_bands=2, band_bits=2,
+                        max_bucket_rows=cap).collect()}
+    u = {(r["id_a"], r["id_b"]) for r in
+         lsh_band_pairs(df, dim=dim, n_bands=2, band_bits=2,
+                        max_bucket_rows=None).collect()}
+    assert g <= u
 
 
 def test_band_capacity_guard_noop_below_cap(spark):
