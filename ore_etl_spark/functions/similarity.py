@@ -416,11 +416,20 @@ def knn_join(
     sym = cand.select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr")) \
         .unionAll(cand.select(F.col("id_b").alias("id"),
                               F.col("id_a").alias("nbr")))
-    a = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("nbr"), F.col(vec_col).alias("vb"))
+    # norms are computed ONCE PER VECTOR in the pre-join projection — a
+    # pair-side cosine() would re-fold both 2·dim-element norm aggregates
+    # for every candidate pair (Σ|bucket|² of them), tripling the re-rank's
+    # expression work. Same float op order per vector, so cos_sim is
+    # bit-identical to the cosine() form (the SQL oracle is unchanged).
+    a = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va"),
+                  norm2(F.col(vec_col)).alias("na"))
+    b = df.select(F.col(id_col).alias("nbr"), F.col(vec_col).alias("vb"),
+                  norm2(F.col(vec_col)).alias("nb"))
+    cos = (dot(F.col("va"), F.col("vb"))
+           / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)))
     scored = sym.join(a, "id").join(b, "nbr").select(
         "id", "nbr",
-        F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("cos_sim"),
+        F.round(cos, round_to).alias("cos_sim"),
     )
     w = Window.partitionBy("id").orderBy(F.desc("cos_sim"), F.asc("nbr"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -491,23 +500,33 @@ def cosine_pairs_threshold(
     ``dim`` is required in LSH mode (hyperplanes are literal arrays)."""
     if block_col is not None:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                      norm2(F.col(vec_col)).alias("na"),
                       F.col(block_col).alias("blk"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                      norm2(F.col(vec_col)).alias("nb"),
                       F.col(block_col).alias("blk"))
         pairs = a.join(b, ["blk"]).filter(F.col("id_a") < F.col("id_b"))
+        cos = (dot(F.col("va"), F.col("vb"))
+               / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)))
         out = pairs.select(
             "id_a", "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("cos_sim"),
+            F.round(cos, round_to).alias("cos_sim"),
         )
         return out.filter(F.col("cos_sim") >= threshold)
     cand = lsh_band_pairs(df, vec_col, id_col, dim=dim,
                           n_bands=n_bands, band_bits=band_bits,
                           max_bucket_rows=max_bucket_rows)
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # per-vector norms in the pre-join projection (see knn_join): the
+    # verify stage folds dot only, not 2 norm aggregates, per pair
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                  norm2(F.col(vec_col)).alias("na"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                  norm2(F.col(vec_col)).alias("nb"))
     joined = cand.join(a, "id_a").join(b, "id_b")
+    cos = (dot(F.col("va"), F.col("vb"))
+           / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)))
     out = joined.select(
         "id_a", "id_b",
-        F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("cos_sim"),
+        F.round(cos, round_to).alias("cos_sim"),
     )
     return out.filter(F.col("cos_sim") >= threshold)
