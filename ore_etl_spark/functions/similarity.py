@@ -57,6 +57,30 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.greatest(norm2(a) * norm2(b), F.lit(1e-12))
 
 
+def _py_norm2(vec: list[float]) -> float:
+    """Driver-side ||v||: the same left-to-right fold ``norm2`` runs, so
+    the result is bit-identical to evaluating the column expression —
+    lets probe queries fold a LITERAL query vector's norm once on the
+    driver instead of once per scanned row."""
+    import math
+
+    s = 0.0
+    for x in vec:
+        s += float(x) * float(x)
+    return math.sqrt(s)
+
+
+def _cosine_to_query(vec_col: Column, query_vec: list[float]) -> Column:
+    """cosine(row_vec, literal query): per-row work is one dot fold plus
+    the row's own norm — the query norm is a driver-side constant
+    (bit-identical to the folded form; at 10^9 scanned rows the saved
+    literal-array fold is a third of the probe's expression work)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = _py_norm2(query_vec)
+    return dot(vec_col, q) / F.greatest(norm2(vec_col) * F.lit(qn),
+                                        F.lit(1e-12))
+
+
 def cosine_topk_brute(
     df: DataFrame,
     query_vec: list[float],
@@ -65,11 +89,11 @@ def cosine_topk_brute(
     k: int = 10,
     round_to: int = 6,
 ) -> DataFrame:
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), round_to).alias("cos_sim"),
+            F.round(_cosine_to_query(F.col(vec_col), query_vec),
+                    round_to).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -155,7 +179,6 @@ def lsh_bucket_ann(
     computed on the fly (one literal-array dot per plane)."""
     dim = len(query_vec)
     q_sig = query_signature(query_vec, n_planes)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     if sig_col is None:
         sigged = df.withColumn("_sig", lsh_signature(F.col(vec_col), n_planes, dim))
         sig_col = "_sig"
@@ -165,7 +188,8 @@ def lsh_bucket_ann(
         sigged.filter(F.col(sig_col) == q_sig)
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), round_to).alias("cos_sim"),
+            F.round(_cosine_to_query(F.col(vec_col), query_vec),
+                    round_to).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -372,12 +396,12 @@ def ivf_ann(
     if cell_col is None:
         df = ivf_assign(df, centroids, vec_col, "_cell", cell_ids)
         cell_col = "_cell"
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.filter(F.col(cell_col).isin(probe))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), round_to).alias("cos_sim"),
+            F.round(_cosine_to_query(F.col(vec_col), query_vec),
+                    round_to).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
