@@ -68,6 +68,8 @@ ANALYTICS_QUERIES = [
     "dedup_components", "sim_ivf_ann", "text_decontaminate",
     # round-3: per-row KNN join (banded-LSH candidates + re-rank)
     "sim_knn_join",
+    # round-4: JVM-codegen text features + simhash radius (band-guarded)
+    "text_features", "dedup_simhash_radius",
 ]
 
 
