@@ -1543,20 +1543,71 @@ class MergeTable:
         }])
         return new_snap
 
+    # ------------------------------------------------------------- tags
+    def _tags_path(self) -> str:
+        return os.path.join(self.root, "tags.json")
+
+    def tags(self) -> dict:
+        """{tag name: pinned version} (Iceberg named-ref parity)."""
+        if not os.path.exists(self._tags_path()):
+            return {}
+        with open(self._tags_path()) as f:
+            return json.load(f)
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a named tag to a snapshot version (default: current).
+
+        Iceberg tag parity: a tag is a durable named ref — readers use
+        ``read(tag=...)``, and ``expire_snapshots`` retains tagged
+        versions (so ``vacuum`` keeps their files) until ``drop_tag``.
+        File-locked read-modify-write; re-tagging a name moves it."""
+        from ..state.stores import _file_lock
+
+        v = self.version if version is None else int(version)
+        self.snapshot_at(v)  # must exist — fail loudly, not at read time
+        with _file_lock(self._tags_path()):
+            t = self.tags()
+            t[name] = v
+            tmp = f"{self._tags_path()}.tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(t, f)
+            os.replace(tmp, self._tags_path())
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        from ..state.stores import _file_lock
+
+        with _file_lock(self._tags_path()):
+            t = self.tags()
+            t.pop(name, None)
+            tmp = f"{self._tags_path()}.tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(t, f)
+            os.replace(tmp, self._tags_path())
+
+    def read_tag(self, name: str, with_deleted: bool = False) -> DataFrame:
+        """Time travel by named ref: ``read(version=tags[name])``."""
+        t = self.tags()
+        if name not in t:
+            raise KeyError(f"unknown tag {name!r}; have {sorted(t)}")
+        return self.read(with_deleted=with_deleted, version=t[name])
+
     def expire_snapshots(self, keep_last: int = 10) -> list[int]:
         """Drop snapshot JSONs older than the newest ``keep_last`` versions
         (Iceberg expire_snapshots parity). Time travel to an expired version
-        raises; the current snapshot is always retained. Data files are NOT
-        touched — run ``vacuum()`` afterwards to reclaim storage."""
+        raises; the current snapshot and any TAGGED versions are always
+        retained (tagged files thereby survive ``vacuum``). Data files are
+        NOT touched — run ``vacuum()`` afterwards to reclaim storage."""
         cur = self.version
         cutoff = cur - max(keep_last, 1) + 1
+        pinned = set(self.tags().values())
         sdir = os.path.join(self.root, "snapshots")
         expired = []
         for name in sorted(os.listdir(sdir)):
             if not (name.startswith("v") and name.endswith(".json")):
                 continue
             v = int(name[1:-5])
-            if v < cutoff:
+            if v < cutoff and v not in pinned:
                 os.remove(os.path.join(sdir, name))
                 expired.append(v)
         return expired

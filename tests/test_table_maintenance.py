@@ -381,6 +381,37 @@ def test_sorted_compaction_enables_file_skipping(spark, tmpdir_path):
     assert got == exp and len(got) == 21
 
 
+def test_tags_pin_snapshots_through_expiry_and_vacuum(spark, tmpdir_path):
+    """Iceberg named-ref parity (round 4): a tag survives expire_snapshots
+    + vacuum, read_tag time-travels to it, drop_tag releases it."""
+    tbl = make_table(spark, tmpdir_path, n_buckets=2)
+    tbl.merge(df(spark, [("a", "x", 1, 0, "v1", "INSERT")]), "b1")
+    tbl.tag("release-1")
+    v1 = tbl.version
+    for i in range(2, 8):
+        tbl.merge(df(spark, [("a", "x", i, 0, f"v{i}", "UPDATE")]), f"b{i}")
+
+    assert tbl.tags() == {"release-1": v1}
+    tbl.expire_snapshots(keep_last=2)
+    tbl.vacuum(min_age_s=0)
+    # the tagged snapshot and its files survived
+    got = tbl.read_tag("release-1").collect()
+    assert [(r["content"], r["commit_seq"]) for r in got] == [("v1", 1)]
+    # current state is unaffected
+    assert tbl.read().collect()[0]["content"] == "v7"
+    # unknown tag fails loudly; tagging a missing version fails loudly
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        tbl.read_tag("nope")
+    with _pytest.raises(FileNotFoundError):
+        tbl.tag("bad", version=999)
+    # dropping the tag releases the snapshot for the next expiry cycle
+    tbl.drop_tag("release-1")
+    tbl.expire_snapshots(keep_last=2)
+    with _pytest.raises(FileNotFoundError):
+        tbl.snapshot_at(v1)
+
+
 def test_rollback_restores_state_and_allows_replay(spark, tmpdir_path):
     """Iceberg rollback parity (round 4): a new version copies the old
     snapshot's state; history stays append-only; undone batches leave the
