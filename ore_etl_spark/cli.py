@@ -127,6 +127,25 @@ def cmd_vacuum(args):
     print(json.dumps({"expired_versions": expired, **stats}))
 
 
+def cmd_rollback(args):
+    spark = _spark(args)
+    tbl = _table(spark, args, create=False)
+    snap = tbl.rollback(args.to_version)
+    print(json.dumps({"version": snap["version"],
+                      "rolled_back_to": args.to_version}))
+
+
+def cmd_tag(args):
+    spark = _spark(args)
+    tbl = _table(spark, args, create=False)
+    if args.drop:
+        tbl.drop_tag(args.name)
+        print(json.dumps({"dropped": args.name}))
+    else:
+        v = tbl.tag(args.name, args.at_version)
+        print(json.dumps({"tag": args.name, "version": v}))
+
+
 def cmd_changes(args):
     spark = _spark(args)
     tbl = _table(spark, args, create=False)
@@ -251,6 +270,20 @@ def main(argv=None):
                    help="keep unreferenced dirs younger than this "
                         "(protects concurrent writers' in-flight attempts)")
     v.set_defaults(fn=cmd_vacuum)
+
+    ro = sub.add_parser("rollback")
+    ro.add_argument("--table", required=True)
+    ro.add_argument("--buckets", type=int, default=64)
+    ro.add_argument("--to-version", type=int, required=True)
+    ro.set_defaults(fn=cmd_rollback)
+
+    tg = sub.add_parser("tag")
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--buckets", type=int, default=64)
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--at-version", type=int, default=None)
+    tg.add_argument("--drop", action="store_true")
+    tg.set_defaults(fn=cmd_tag)
 
     ch = sub.add_parser("changes")
     ch.add_argument("--table", required=True)
