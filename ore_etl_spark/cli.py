@@ -139,6 +139,8 @@ def cmd_tag(args):
     spark = _spark(args)
     tbl = _table(spark, args, create=False)
     if args.drop:
+        if args.at_version is not None:
+            raise SystemExit("--drop and --at-version are mutually exclusive")
         tbl.drop_tag(args.name)
         print(json.dumps({"dropped": args.name}))
     else:

@@ -1511,18 +1511,28 @@ class MergeTable:
         committed after ``version`` are undone, so replaying their
         delivery ranges re-applies them (the CDC repair story) instead of
         being skipped as already-committed. Callers driving a pipeline
-        should rewind its checkpoint hwm accordingly. Idempotent by
-        ``batch_id`` (default ``rollback:v{version}``). No data files are
+        should rewind its checkpoint hwm accordingly. No data files are
         written or deleted; the undone versions' files remain until
-        ``expire_snapshots`` + ``vacuum``."""
+        ``expire_snapshots`` + ``vacuum``.
+
+        Idempotency is SEMANTIC: if CURRENT already carries the target's
+        state (refs + schema + spec), the call is a no-op — so a crashed
+        rollback retries safely — while a rollback to the same version
+        AFTER intervening repair commits rolls back AGAIN (the default
+        batch_id embeds the parent version, so the manifest can't
+        silently swallow the second invocation)."""
         from ..state.stores import _file_lock
 
         target = self.snapshot_at(version)
-        batch_id = batch_id or f"rollback:v{version}"
         with _file_lock(os.path.join(self.root, "CURRENT")):
             cur = self.snapshot()
-            if self.is_committed(batch_id, cur):
+            if batch_id and self.is_committed(batch_id, cur):
                 return cur
+            if (cur["refs"] == target["refs"]
+                    and cur["current_schema_id"] == target["current_schema_id"]
+                    and cur.get("n_buckets") == target.get("n_buckets")):
+                return cur  # already at the target state
+            batch_id = batch_id or f"rollback:v{version}@{cur['version']}"
             window = cur.get("batch_window", 256)
             new_snap = {
                 **target,
@@ -1554,36 +1564,46 @@ class MergeTable:
         with open(self._tags_path()) as f:
             return json.load(f)
 
+    def _write_tags(self, t: dict) -> None:
+        tmp = f"{self._tags_path()}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(t, f)
+            f.flush()
+            os.fsync(f.fileno())  # durable like _write_snapshot
+        os.replace(tmp, self._tags_path())
+
     def tag(self, name: str, version: int | None = None) -> int:
         """Pin a named tag to a snapshot version (default: current).
 
         Iceberg tag parity: a tag is a durable named ref — readers use
-        ``read(tag=...)``, and ``expire_snapshots`` retains tagged
+        ``read_tag(name)``, and ``expire_snapshots`` retains tagged
         versions (so ``vacuum`` keeps their files) until ``drop_tag``.
-        File-locked read-modify-write; re-tagging a name moves it."""
+        The existence check runs INSIDE the tags lock, which
+        ``expire_snapshots`` also holds while deleting — so a concurrent
+        expiry either sees the tag (and retains the snapshot) or deletes
+        first (and this call fails loudly); a tag can never land on an
+        already-deleted snapshot. Re-tagging a name moves it."""
         from ..state.stores import _file_lock
 
         v = self.version if version is None else int(version)
-        self.snapshot_at(v)  # must exist — fail loudly, not at read time
         with _file_lock(self._tags_path()):
+            self.snapshot_at(v)  # must exist — fail loudly, not at read time
             t = self.tags()
             t[name] = v
-            tmp = f"{self._tags_path()}.tmp.{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump(t, f)
-            os.replace(tmp, self._tags_path())
+            self._write_tags(t)
         return v
 
     def drop_tag(self, name: str) -> None:
+        """Release a tag. Unknown names raise (a typo'd drop silently
+        'succeeding' would leave the real tag pinning storage forever)."""
         from ..state.stores import _file_lock
 
         with _file_lock(self._tags_path()):
             t = self.tags()
-            t.pop(name, None)
-            tmp = f"{self._tags_path()}.tmp.{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump(t, f)
-            os.replace(tmp, self._tags_path())
+            if name not in t:
+                raise KeyError(f"unknown tag {name!r}; have {sorted(t)}")
+            del t[name]
+            self._write_tags(t)
 
     def read_tag(self, name: str, with_deleted: bool = False) -> DataFrame:
         """Time travel by named ref: ``read(version=tags[name])``."""
@@ -1597,19 +1617,24 @@ class MergeTable:
         (Iceberg expire_snapshots parity). Time travel to an expired version
         raises; the current snapshot and any TAGGED versions are always
         retained (tagged files thereby survive ``vacuum``). Data files are
-        NOT touched — run ``vacuum()`` afterwards to reclaim storage."""
+        NOT touched — run ``vacuum()`` afterwards to reclaim storage.
+        Holds the tags lock while reading pins and deleting, closing the
+        race where a tag lands between the read and the delete."""
+        from ..state.stores import _file_lock
+
         cur = self.version
         cutoff = cur - max(keep_last, 1) + 1
-        pinned = set(self.tags().values())
         sdir = os.path.join(self.root, "snapshots")
         expired = []
-        for name in sorted(os.listdir(sdir)):
-            if not (name.startswith("v") and name.endswith(".json")):
-                continue
-            v = int(name[1:-5])
-            if v < cutoff and v not in pinned:
-                os.remove(os.path.join(sdir, name))
-                expired.append(v)
+        with _file_lock(self._tags_path()):
+            pinned = set(self.tags().values())
+            for name in sorted(os.listdir(sdir)):
+                if not (name.startswith("v") and name.endswith(".json")):
+                    continue
+                v = int(name[1:-5])
+                if v < cutoff and v not in pinned:
+                    os.remove(os.path.join(sdir, name))
+                    expired.append(v)
         return expired
 
     def vacuum(self, min_age_s: float = 3600.0) -> dict:

@@ -405,8 +405,11 @@ def test_tags_pin_snapshots_through_expiry_and_vacuum(spark, tmpdir_path):
         tbl.read_tag("nope")
     with _pytest.raises(FileNotFoundError):
         tbl.tag("bad", version=999)
-    # dropping the tag releases the snapshot for the next expiry cycle
+    # dropping the tag releases the snapshot for the next expiry cycle;
+    # dropping an unknown tag raises instead of silently 'succeeding'
     tbl.drop_tag("release-1")
+    with _pytest.raises(KeyError):
+        tbl.drop_tag("release-1")
     tbl.expire_snapshots(keep_last=2)
     with _pytest.raises(FileNotFoundError):
         tbl.snapshot_at(v1)
@@ -439,6 +442,15 @@ def test_rollback_restores_state_and_allows_replay(spark, tmpdir_path):
     tbl.merge(df(spark, [("a", "x", 2, 0, "fixed", "UPDATE")]), "b2")
     got = {(r["repo"], r["path"]): r["content"] for r in tbl.read().collect()}
     assert got == {("a", "x"): "fixed"}
+
+    # a SECOND rollback to the same version after the repair commit must
+    # roll back again (the manifest can't swallow it) — semantic
+    # idempotency only short-circuits when the state already matches
+    v_before = tbl.version
+    snap2 = tbl.rollback(v_good)
+    assert snap2["version"] == v_before + 1
+    assert {r["content"] for r in tbl.read().collect()} == {"v1"}
+    tbl.merge(df(spark, [("a", "x", 2, 0, "fixed", "UPDATE")]), "b2-again")
 
     # maintenance after rollback: current state's files survive vacuum
     tbl.expire_snapshots(keep_last=2)
