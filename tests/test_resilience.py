@@ -277,6 +277,51 @@ def test_quarantine_recovers_mid_swap_crash(spark, tmpdir_path):
     assert os.path.exists(p.quarantine_dir)
 
 
+def test_heartbeat_protects_live_holder_past_stale_horizon(tmpdir_path):
+    """Round-4 ADVICE fix: a LIVE holder stalled inside its critical
+    section longer than the stale horizon must NOT get its lock stolen —
+    the heartbeat refreshes the lock mtime (every timeout/4), so a
+    concurrent waiter times out instead of breaking in and running the
+    read-modify-write concurrently (the lost-commit scenario)."""
+    import threading
+    import time
+
+    from ore_etl_spark.state import stores
+
+    path = f"{tmpdir_path}/current.json"
+    entered = threading.Event()
+    release = threading.Event()
+    outcome = {}
+
+    def holder():
+        with stores._file_lock(path, timeout_s=1.0):
+            entered.set()
+            release.wait(10)  # stalled WAY past the 1s stale horizon
+
+    def waiter():
+        try:
+            with stores._file_lock(path, timeout_s=3.0):
+                outcome["stole"] = True
+        except TimeoutError:
+            outcome["stole"] = False
+
+    h = threading.Thread(target=holder)
+    h.start()
+    assert entered.wait(5)
+    time.sleep(1.5)  # holder is now past the 1s horizon — but beating
+    w = threading.Thread(target=waiter)
+    w.start()
+    w.join(10)
+    assert outcome == {"stole": False}  # live holder was never stolen
+    release.set()
+    h.join(5)
+    # lock released cleanly after the stall; next acquisition is instant
+    t0 = time.time()
+    with stores._file_lock(path, timeout_s=2.0):
+        pass
+    assert time.time() - t0 < 1.0
+
+
 def test_lock_steal_toctou_keeps_fresh_holder(tmpdir_path, monkeypatch):
     """TOCTOU guard on the stale-lock steal: between the staleness check
     and the steal, the stale lock can be replaced by a NEW live holder's
