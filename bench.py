@@ -319,7 +319,7 @@ def main():
     per_q["cdc_apply_cow_full"] = res["apply_cow"]["wall_sec"]
     mor, cow = res["apply"], res["apply_cow"]
     best = mor if mor["events_per_sec"] >= cow["events_per_sec"] else cow
-    print(json.dumps({
+    headline = {
         "metric": "cdc_apply_throughput",
         "value": best["events_per_sec"],
         "unit": "events/sec",
@@ -330,15 +330,37 @@ def main():
         "sf": _sf_of(SF_DIR),
         "n_events": best["n_events"],
         "cpus": args.cpus,
-        "noise": {
-            "cow_trial_walls": cow.get("trial_walls"),
-            "mor_trial_walls": mor.get("trial_walls"),
-            "cow_trial_loadavg": cow.get("trial_loadavg"),
-            "mor_trial_loadavg": mor.get("trial_loadavg"),
-            "harvest_stats": cow.get("harvest_stats"),
-            "query_trials": res.get("query_noise"),
-        },
-    }))
+        "noise_detail": "BENCH/last_run.json",
+    }
+    # Full noise telemetry (per-trial walls + loadavg for apply AND every
+    # query) goes to a FILE, not stdout: the driver captures only the last
+    # 2,000 bytes of stdout and parses the final line — round 4's inline
+    # trial arrays overflowed that and truncated the headline out of
+    # BENCH_r04.json. The stdout contract is: ONE compact line, <=1.5 KB.
+    detail = dict(headline)
+    detail["noise"] = {
+        "cow_trial_walls": cow.get("trial_walls"),
+        "mor_trial_walls": mor.get("trial_walls"),
+        "cow_trial_loadavg": cow.get("trial_loadavg"),
+        "mor_trial_loadavg": mor.get("trial_loadavg"),
+        "harvest_stats": cow.get("harvest_stats"),
+        "query_trials": res.get("query_noise"),
+    }
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/last_run.json", "w") as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
+    except OSError as e:  # never let telemetry kill the headline
+        print(f"warn: could not write BENCH/last_run.json: {e}", file=sys.stderr)
+    line = json.dumps(headline)
+    if len(line) > 1500:  # hard stdout budget: drop per-query walls first
+        headline["queries"] = {k: per_q[k] for k in
+                               ("cdc_apply_mor_full", "cdc_apply_cow_full")
+                               if k in per_q}
+        headline["queries_detail"] = "BENCH/last_run.json"
+        line = json.dumps(headline)
+    print(line)
 
 
 def run_scaling(args):

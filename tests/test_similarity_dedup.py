@@ -417,3 +417,61 @@ def test_simhash_agg_form_equals_column_form(spark):
     agg_form = {r["id"]: r["sig"]
                 for r in simhash_signatures_agg(df, bits=16).collect()}
     assert agg_form == col_form
+
+
+def test_connected_components_hybrid_matches_distributed(spark):
+    """The driver-finish union-find tail must produce exactly the labels
+    the all-distributed star-contraction loop converges to — contraction
+    preserves the component partition, so finishing round k's edges with
+    exact union-find IS the fixpoint answer."""
+    from ore_etl_spark.functions.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(30)]
+        + [(100, 101), (100, 102), (101, 102)]
+        + [(300, 301)]
+        + [(400 + i, 401 + i) for i in range(4)]
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    hybrid = {(r["node"], r["component"])
+              for r in connected_components(df).collect()}
+    distributed = {(r["node"], r["component"])
+                   for r in connected_components(
+                       df, driver_finish_edges=None).collect()}
+    assert hybrid == distributed and len(hybrid) > 0
+
+
+def test_band_guard_fire_is_loud(spark, caplog):
+    """Round-4 ADVICE: a fired capacity guard silently dropped candidate
+    pairs. Now it must (a) record what it did in LAST_GUARD_STATS and
+    (b) log a WARNING — and must report not-fired on normal corpora."""
+    import logging
+
+    from ore_etl_spark.functions import similarity
+    from ore_etl_spark.functions.similarity import lsh_band_pairs
+
+    n, dim, cap = 120, 8, 20
+    clustered = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_clustered_vecs(n, dim))],
+        "vec_id long, embedding array<double>",
+    )
+    with caplog.at_level(logging.WARNING,
+                         logger="ore_etl_spark.functions.similarity"):
+        lsh_band_pairs(clustered, dim=dim, n_bands=2, band_bits=2,
+                       max_bucket_rows=cap).count()
+    st = dict(similarity.LAST_GUARD_STATS)
+    assert st["fired"] is True
+    assert st["n_oversize_buckets"] >= 1
+    assert st["largest_bucket"] > cap
+    assert st["rows_in_oversize"] >= st["largest_bucket"]
+    assert st["max_bucket_rows"] == cap
+    assert any("band-capacity guard FIRED" in r.message
+               for r in caplog.records)
+
+    diverse = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_random_vecs(60, 16, seed=5))],
+        "vec_id long, embedding array<double>",
+    )
+    lsh_band_pairs(diverse, dim=16, n_bands=4, band_bits=2,
+                   max_bucket_rows=10_000).count()
+    assert similarity.LAST_GUARD_STATS["fired"] is False
