@@ -86,7 +86,7 @@ class CdcApplyPipeline:
         batch counter (a metadata-only check per batch, no Spark job)."""
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown mode {mode!r}")
-        if events_format not in ("parquet", "jsonl"):
+        if events_format not in ("parquet", "jsonl", "kafka"):
             raise ValueError(f"unknown events_format {events_format!r}")
         self.events_format = events_format
         # wire-path schema evolution seam: a JSONL WAL carrying additive
@@ -95,6 +95,9 @@ class CdcApplyPipeline:
         # wider schema; list the new column in ``optional_cols`` and the
         # MERGE lands it in the target additively (int→long widening via
         # MergeTable._evolve_schema). None = the engine's base WAL schema.
+        # For events_format="kafka" (an archived broker record dump,
+        # sources/kafka.py) this is the ENVELOPE schema instead — extras
+        # ride in the after-image and surface through from_debezium.
         self.source_schema = source_schema
         self.spark = spark
         self.events_path = events_path
@@ -118,7 +121,27 @@ class CdcApplyPipeline:
 
             return read_jsonl_wal(self.spark, self.events_path,
                                   schema=self.source_schema)
+        if self.events_format == "kafka":
+            from ..sources.kafka import read_kafka_archive
+
+            return read_kafka_archive(self.spark, self.events_path,
+                                      envelope_schema=self.source_schema)
         return self.spark.read.parquet(self.events_path)
+
+    def _events_with_malformed(self) -> DataFrame:
+        """Source rows INCLUDING the dead ones (NULL delivery_seq), with
+        the raw line/value in ``_malformed`` where recoverable."""
+        if self.events_format == "jsonl":
+            from ..sources.cdc_json import read_jsonl_wal
+
+            return read_jsonl_wal(self.spark, self.events_path,
+                                  schema=self.source_schema,
+                                  keep_malformed=True)
+        from ..sources.kafka import read_kafka_archive
+
+        return read_kafka_archive(self.spark, self.events_path,
+                                  envelope_schema=self.source_schema,
+                                  keep_malformed=True)
 
     def delivery_range(self) -> tuple[int, int]:
         r = self.events().agg(
@@ -147,14 +170,16 @@ class CdcApplyPipeline:
         so a redrive repairs/re-injects one event, not duplicates (same
         rule verbatim-duplicate malformed raw lines already follow).
         Idempotent: rewrites one fixed quarantine sub-dir from the source
-        each call. Returns the count of newly parked rows."""
-        if self.events_format != "jsonl":
-            return 0
-        from ..sources.cdc_json import read_jsonl_wal
+        each call. Returns the count of newly parked rows.
 
-        bad = read_jsonl_wal(self.spark, self.events_path,
-                             schema=self.source_schema,
-                             keep_malformed=True).filter(
+        ``events_format="kafka"``: poison broker records (NULL value /
+        unparseable envelope / unknown op) arrive the same way — NULL
+        delivery_seq with the raw value in ``_malformed`` — so this is
+        the engine's DLQ analog of the reference's nack→DLQ path
+        (transaction-consumer.ts:150-174)."""
+        if self.events_format == "parquet":
+            return 0
+        bad = self._events_with_malformed().filter(
             F.col("delivery_seq").isNull())
         raw_cols = [c for c in bad.columns if c != "_malformed"]
         raw_line = F.coalesce(
@@ -183,15 +208,29 @@ class CdcApplyPipeline:
         return n
 
     # ------------------------------------------------------------------
-    def _stats_phase(self, seq_lo: int, seq_hi: int):
+    def _stats_phase(self, seq_lo: int, seq_hi: int,
+                     bucket_slice: tuple[int, int] | None = None):
         """Job 1: every per-batch fact in one pass — counters, per-source-
         partition watermarks, touched buckets (for MERGE pruning), and
-        schema-evolution column presence."""
+        schema-evolution column presence.
+
+        ``bucket_slice=(k, S)`` restricts the batch to rows whose key
+        bucket ≡ k (mod S) — the bucket-sliced concurrent-backfill unit
+        (slices touch disjoint buckets, so their commits are disjoint by
+        construction). The key columns are RAW WAL columns (xxhash64 is
+        null-safe and deterministic), so the filter applies BEFORE the
+        payload decode: each slice pays 1/S of the decode work, and every
+        row — valid or invalid — is owned by exactly one slice (invalid
+        rows are quarantined once, by their owner, never S times or
+        zero)."""
         batch = self.events().filter(
             (F.col("delivery_seq") > seq_lo) & (F.col("delivery_seq") <= seq_hi)
         )
-        decoded = decode_events(batch)
         bucket = self.table.bucket_expr()
+        if bucket_slice is not None:
+            k, n_slices = bucket_slice
+            batch = batch.filter(F.pmod(bucket, F.lit(n_slices)) == k)
+        decoded = decode_events(batch)
         opt_present_aggs = [
             F.max(F.col(c).isNotNull()).alias(f"has_{c}")
             for c in self.optional_cols if c in decoded.columns
@@ -210,8 +249,12 @@ class CdcApplyPipeline:
         return decoded, part_stats
 
     def run_batch(self, seq_lo: int, seq_hi: int, batch_id: str | None = None,
-                  stats=None, update_global_hwm: bool = True) -> dict:
+                  stats=None, update_global_hwm: bool = True,
+                  bucket_slice: tuple[int, int] | None = None) -> dict:
         """Apply one (lo, hi] delivery range. Idempotent by batch_id.
+        With ``bucket_slice=(k, S)`` the batch covers only slice k's rows
+        (see ``_stats_phase``) and the default batch id is slice-qualified
+        — each slice of a range is its own idempotency unit.
 
         Exactly TWO Spark jobs per batch (plus one only when quarantine is
         non-empty): a single stats pass (counters, per-partition watermarks,
@@ -223,7 +266,10 @@ class CdcApplyPipeline:
         fully parallel ~3 s. On a multi-executor cluster the same reasoning
         holds: the decode is cheaper than the cache build + memory pressure.
         """
-        batch_id = batch_id or self.batch_id_for(self.pipeline, seq_lo, seq_hi)
+        if batch_id is None:
+            batch_id = self.batch_id_for(self.pipeline, seq_lo, seq_hi)
+            if bucket_slice is not None:
+                batch_id += f":s{bucket_slice[0]}.{bucket_slice[1]}"
         t0 = time.time()
         if self.table.is_committed(batch_id):
             return {"batch_id": batch_id, "skipped_already_committed": True}
@@ -231,7 +277,8 @@ class CdcApplyPipeline:
         if stats is not None:
             decoded, part_stats = stats
         else:
-            decoded, part_stats = self._stats_phase(seq_lo, seq_hi)
+            decoded, part_stats = self._stats_phase(seq_lo, seq_hi,
+                                                    bucket_slice=bucket_slice)
         qn = sum(r["n_bad"] or 0 for r in part_stats)
         touched = sorted({b for r in part_stats for b in r["buckets"]})
         extra = [

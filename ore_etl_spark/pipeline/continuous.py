@@ -62,6 +62,7 @@ def stream_decoded(
     apply_fn: Callable[[DataFrame, int], None],
     trigger_once: bool = True,
     events_format: str = "parquet",
+    broker: dict | None = None,
 ):
     """Structured Streaming over the WAL directory with a foreachBatch sink.
 
@@ -74,8 +75,37 @@ def stream_decoded(
     lines into the micro-batch so foreachBatch consumers can park the
     original line (without it Spark would deliver an all-NULL row and the
     raw text would be lost — weaker than the batch path's quarantine).
+
+    ``events_format='kafka'`` streams broker records (S6 realtime
+    parity). ``broker`` selects the physical source: a dict (
+    ``{"bootstrap_servers": ..., "topic": ...}``) connects the real
+    ``format("kafka")`` source via ``sources.kafka.kafka_stream``
+    (untestable in this sandbox — no broker); ``None`` streams an
+    archived record dump at ``events_path`` with the identical record
+    shape (the tested stand-in). Either way records normalize through
+    ``from_kafka_records(keep_malformed=True)`` — poison records reach
+    the micro-batch with NULL delivery_seq and the raw value in
+    ``_malformed``, same as the jsonl contract, and ``schema`` is the
+    ENVELOPE schema (None = Debezium default).
     """
-    if events_format == "jsonl":
+    if events_format == "kafka":
+        from ..sources.kafka import (from_kafka_records, kafka_record_schema,
+                                     kafka_stream)
+
+        if broker is not None:
+            rec = kafka_stream(spark, broker["bootstrap_servers"],
+                               broker["topic"],
+                               **{k: v for k, v in broker.items()
+                                  if k not in ("bootstrap_servers", "topic")})
+        else:
+            rec = (
+                spark.readStream.schema(kafka_record_schema())
+                .option("maxFilesPerTrigger", "16")
+                .parquet(events_path)
+            )
+        src = from_kafka_records(rec, envelope_schema=schema,
+                                 keep_malformed=True)
+    elif events_format == "jsonl":
         from pyspark.sql import types as T
 
         stream_schema = T.StructType(

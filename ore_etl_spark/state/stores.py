@@ -197,12 +197,22 @@ class ChunkLedger(_JsonStore):
     work distribution inside a job.
     """
 
-    def plan(self, seq_lo: int, seq_hi: int, chunk_size: int) -> list[dict]:
+    def plan(self, seq_lo: int, seq_hi: int, chunk_size: int,
+             n_slices: int = 1) -> list[dict]:
         """Extend the ledger up to ``seq_hi``. New chunks start AFTER the
         max seq_hi already planned — re-planning when the WAL head has
         advanced never regenerates an overlapping tail chunk (which would
         re-read and re-merge an already-applied range and leave a
-        double-entry lineage)."""
+        double-entry lineage).
+
+        ``n_slices`` > 1 plans BUCKET-SLICED work units: each seq range
+        becomes ``n_slices`` entries, one per key-bucket residue class
+        (slice k owns buckets ≡ k mod n_slices). Entries from different
+        slices touch disjoint buckets by construction, so concurrent COW
+        commits rebase (manifest union) instead of recomputing under the
+        optimistic CAS — the multi-writer scaling path. A range is fully
+        applied only when ALL its slices complete (the global-hwm walk
+        groups by range)."""
         with _file_lock(self.path):
             data = self._read()
             chunks = data.get("chunks", {})
@@ -212,17 +222,23 @@ class ChunkLedger(_JsonStore):
             created = []
             while lo <= seq_hi:
                 hi = min(lo + chunk_size - 1, seq_hi)
-                cid = f"chunk_{lo}_{hi}"
-                chunks[cid] = {"chunk_id": cid, "seq_lo": lo, "seq_hi": hi,
-                               "status": "pending", "last_seq": lo - 1,
-                               "updated_at": time.time()}
-                created.append(chunks[cid])
+                for k in range(max(1, n_slices)):
+                    cid = (f"chunk_{lo}_{hi}" if n_slices <= 1
+                           else f"chunk_{lo}_{hi}_s{k}")
+                    chunks[cid] = {"chunk_id": cid, "seq_lo": lo,
+                                   "seq_hi": hi, "status": "pending",
+                                   "last_seq": lo - 1,
+                                   "slice_id": k,
+                                   "n_slices": max(1, n_slices),
+                                   "updated_at": time.time()}
+                    created.append(chunks[cid])
                 lo = hi + 1
             data["chunks"] = chunks
             self._write(data)
             return created
 
-    def claim_next(self, stale_after_s: float | None = None) -> dict | None:
+    def claim_next(self, stale_after_s: float | None = None,
+                   slice_id: int | None = None) -> dict | None:
         """Atomically claim the next workable chunk (file-locked
         read-modify-write: two concurrent claimers can never double-claim).
 
@@ -232,12 +248,19 @@ class ChunkLedger(_JsonStore):
         remaining range forever (reference claims status in
         pending/error/running, transaction-transformer.ts:261). Pass 0 for
         the single-runner model (any 'running' chunk is a crash leftover),
-        None to never steal (multi-runner with live peers)."""
+        None to never steal (multi-runner with live peers).
+
+        ``slice_id``: claim only entries of that bucket slice (affinity
+        for sliced plans — entries without a slice field count as slice
+        0). Callers fall back to a slice-less claim when their own slice
+        is drained (work stealing; correctness is the CAS's job)."""
         with _file_lock(self.path):
             data = self._read()
             now = time.time()
             for c in sorted(data.get("chunks", {}).values(),
-                            key=lambda c: c["seq_lo"]):
+                            key=lambda c: (c["seq_lo"], c.get("slice_id", 0))):
+                if slice_id is not None and c.get("slice_id", 0) != slice_id:
+                    continue
                 claimable = c["status"] in ("pending", "error") or (
                     c["status"] == "running"
                     and stale_after_s is not None
@@ -268,7 +291,7 @@ class ChunkLedger(_JsonStore):
 
     def chunks(self) -> list[dict]:
         return sorted(self._read().get("chunks", {}).values(),
-                      key=lambda c: c["seq_lo"])
+                      key=lambda c: (c["seq_lo"], c.get("slice_id", 0)))
 
 
 class MetricsLog(_JsonStore):

@@ -272,3 +272,117 @@ def test_global_hwm_never_passes_a_gap(spark, tmpdir_path):
     )
     exp = exp[got.columns.tolist()].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_bucket_sliced_backfill_converges_and_commits_disjoint(
+        spark, tmpdir_path):
+    """Round-5: bucket-sliced COW backfill. 4 workers with slice affinity
+    (slice k owns buckets ≡ k mod 4) — every in-flight pair of commits is
+    bucket-disjoint, so the CAS rebases instead of recomputing. Must still
+    equal the pandas replay oracle, every slice entry completes, batch ids
+    are slice-qualified (each slice is its own idempotency unit), and a
+    range's seq_hi only reaches the global hwm when ALL its slices are
+    done."""
+    import pandas as pd
+
+    wal_path = f"{tmpdir_path}/events"
+    generate_wal(spark, n_keys=300, n_partitions=4).write.parquet(wal_path)
+    tbl = MergeTable.create(
+        spark, f"{tmpdir_path}/target", target_schema(),
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=8,
+    )
+    pipe = CdcApplyPipeline(spark, wal_path, tbl, f"{tmpdir_path}/state")
+    lo, hi = pipe.delivery_range()
+    chunk_size = max(1, (hi - lo) // 3)  # ~4 ranges x 4 slices = 16 units
+    bf = BackfillRunner(pipe, f"{tmpdir_path}/state/chunks.json", chunk_size,
+                        stale_after_s=None, bucket_slices=4)
+    done = bf.run_concurrent(n_workers=4)
+    chunks = bf.ledger.chunks()
+    assert all(c["status"] == "completed" for c in chunks)
+    assert len(done) == len(chunks)
+    assert {c["slice_id"] for c in chunks} == {0, 1, 2, 3}
+    batch_ids = [b["batch_id"] for d in done for b in d["batches"]]
+    assert all(":s" in b for b in batch_ids)
+    assert len(set(batch_ids)) == len(batch_ids)  # no double-apply
+
+    # global hwm reached the full head (every slice completed)
+    assert pipe.checkpoints.get(pipe.pipeline) == hi
+
+    exp = replay_oracle(spark.read.parquet(wal_path).toPandas())
+    got = (
+        tbl.read()
+        .select("repo", "path", "commit", "lang", "commit_seq", "event_seq",
+                "content_sha256", "content_len")
+        .toPandas()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    exp = exp[got.columns.tolist()].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # idempotent: drained sliced ledger is a no-op
+    assert bf.run_concurrent(n_workers=4) == []
+
+
+def test_sliced_hwm_waits_for_all_slices(tmpdir_path):
+    """A single completed slice of the FIRST range must not publish that
+    range's seq_hi — the walk groups by range and requires every slice."""
+    from ore_etl_spark.state.stores import ChunkLedger
+
+    led = ChunkLedger(f"{tmpdir_path}/led.json")
+    led.plan(1, 200, 100, n_slices=2)
+    led.update("chunk_1_100_s0", status="completed")
+
+    class _Pipe:
+        pipeline = "p"
+
+        class checkpoints:
+            published = {}
+
+            @classmethod
+            def set(cls, name, v, monotone=True):
+                cls.published[name] = v
+
+    bf = BackfillRunner.__new__(BackfillRunner)
+    bf.ledger = led
+    bf.pipe = _Pipe()
+    bf._advance_global_hwm()
+    assert _Pipe.checkpoints.published == {}  # slice 1 still pending
+    led.update("chunk_1_100_s1", status="completed")
+    bf._advance_global_hwm()
+    assert _Pipe.checkpoints.published == {"p": 100}
+
+
+def test_stats_phase_slices_partition_every_row_once(spark, tmpdir_path):
+    """Each WAL row — valid OR invalid — is owned by exactly one bucket
+    slice (key bucket mod S over the RAW key columns, so the filter sits
+    below the payload decode); invalid rows must be quarantined once, by
+    their owning slice, not S times or zero."""
+    wal_path = f"{tmpdir_path}/events"
+    generate_wal(spark, n_keys=120, n_partitions=2).write.parquet(wal_path)
+    tbl = MergeTable.create(
+        spark, f"{tmpdir_path}/target", target_schema(),
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=8,
+    )
+    pipe = CdcApplyPipeline(spark, wal_path, tbl, f"{tmpdir_path}/state")
+    lo, hi = pipe.delivery_range()
+    S = 4
+    seqs = []
+    n_bad_total = 0
+    for k in range(S):
+        decoded, part_stats = pipe._stats_phase(lo - 1, hi,
+                                                bucket_slice=(k, S))
+        seqs.append({r["delivery_seq"]
+                     for r in decoded.select("delivery_seq").collect()})
+        n_bad_total += sum(r["n_bad"] or 0 for r in part_stats)
+        for r in part_stats:
+            for b in r["buckets"]:
+                assert b % S == k  # slice owns exactly its residue class
+    full, _ = pipe._stats_phase(lo - 1, hi)
+    all_seqs = {r["delivery_seq"]
+                for r in full.select("delivery_seq").collect()}
+    assert set().union(*seqs) == all_seqs          # no row dropped
+    assert sum(len(s) for s in seqs) == len(all_seqs)  # no row duplicated
+    full_bad = sum(r["n_bad"] or 0
+                   for r in pipe._stats_phase(lo - 1, hi)[1])
+    assert n_bad_total == full_bad and full_bad > 0

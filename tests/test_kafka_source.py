@@ -1,0 +1,161 @@
+"""Broker-format source seam (S6 realtime parity; round-5).
+
+The reference consumes JSON change messages off RabbitMQ with a DLQ for
+poison messages (/root/reference/src/queue/transaction-consumer.ts:42-174).
+No broker exists in this sandbox, so the untestable piece is confined to
+``kafka_stream`` (the format("kafka") builder); everything downstream —
+record→envelope→WAL normalization, broker-metadata backfill, poison→DLQ
+routing, batch archive replay, streaming stand-in — is tested here against
+the identical record shape.
+"""
+
+import datetime
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ore_etl_spark.datagen.wal import generate_wal  # noqa: F401 (fixture peers)
+from ore_etl_spark.pipeline.apply import CdcApplyPipeline, target_schema
+from ore_etl_spark.sources.kafka import (from_kafka_records,
+                                         kafka_record_schema,
+                                         read_kafka_archive)
+from ore_etl_spark.tables.merge_table import MergeTable
+
+
+def _env(op, who, ver, content, with_seq=True, before=False):
+    image = {"repo": who, "path": f"src/{who}.py", "commit": f"c{ver}",
+             "lang": "python", "content": content}
+    d = {
+        "op": op,
+        "before": image if before else None,
+        "after": None if op == "d" else image,
+        "source": {"commit_seq": ver, "event_seq": 0,
+                   "partition_id": 0 if with_seq else None},
+        "ts_ms": 1_700_000_000_000 + ver,
+    }
+    if op == "d":
+        d["before"], d["after"] = image, None
+    if with_seq:
+        d["delivery_seq"] = ver
+    return json.dumps(d)
+
+
+def _records(spark, rows):
+    """rows: list of (value: bytes|None, partition, offset)."""
+    ts = datetime.datetime(2024, 1, 2, 3, 4, 5)
+    data = [(None, v, "topic-a", p, o, ts) for v, p, o in rows]
+    return spark.createDataFrame(data, kafka_record_schema())
+
+
+def _archive(spark, tmpdir_path, rows, name="kafka_archive"):
+    path = f"{tmpdir_path}/{name}"
+    _records(spark, rows).write.parquet(path)
+    return path
+
+
+GOOD = [
+    (_env("c", "alice", 1, "v1").encode(), 0, 101),
+    (_env("u", "alice", 2, "v2").encode(), 0, 102),
+    (_env("c", "bob", 3, "hello").encode(), 1, 103),
+    (_env("d", "bob", 4, "hello").encode(), 1, 104),
+    (_env("r", "carol", 5, "snap").encode(), 0, 105),
+    # no delivery_seq / partition_id in the envelope: broker metadata
+    # (offset 106, partition 1) must backfill them
+    (_env("c", "dave", 6, "dv", with_seq=False).encode(), 1, 106),
+]
+POISON = [
+    (None, 0, 200),                                   # compaction tombstone
+    (b"<<not json at all", 1, 201),                   # broken bytes
+    (json.dumps({"op": "x", "after": None}).encode(), 0, 202),  # unknown op
+    (json.dumps({"foo": 1}).encode(), 1, 203),        # JSON, not an envelope
+]
+NON_ROW = [
+    (json.dumps({"op": "t", "source": {"commit_seq": 9}}).encode(), 0, 300),
+]
+
+
+def test_from_kafka_records_normalizes_and_backfills(spark):
+    wal = from_kafka_records(_records(spark, GOOD))
+    rows = {r["delivery_seq"]: r for r in wal.collect()}
+    # dave's envelope had no delivery_seq/partition_id: offset + partition
+    assert set(rows) == {1, 2, 3, 4, 5, 106}
+    assert rows[106]["repo"] == "dave" and rows[106]["partition_id"] == 1
+    assert rows[2]["op"] == "UPDATE" and rows[4]["op"] == "DELETE"
+    assert rows[4]["repo"] == "bob"  # delete keyed by the before image
+
+
+def test_kafka_poison_routes_to_malformed_not_silence(spark):
+    recs = _records(spark, GOOD + POISON + NON_ROW)
+    wal = from_kafka_records(recs, keep_malformed=True)
+    dead = wal.filter(F.col("delivery_seq").isNull()).collect()
+    # the 4 poison records — and ONLY them — survive as dead rows with
+    # their raw value; the 't' envelope is recognized and dropped by
+    # design (no row image), never misfiled as poison
+    assert len(dead) == 4
+    raws = {r["_malformed"] for r in dead}
+    assert "<null kafka record value>" in raws
+    assert "<<not json at all" in raws
+    assert json.dumps({"foo": 1}) in raws
+    assert wal.filter(F.col("delivery_seq").isNotNull()).count() == len(GOOD)
+    # default path: dead rows are filtered (the pipeline parks them)
+    assert from_kafka_records(recs).count() == len(GOOD)
+
+
+def test_kafka_archive_replay_applies_and_quarantines(spark, tmpdir_path):
+    """Full-pipeline parity: an archived broker dump replays through the
+    standard batch path — LWW state, tombstones, and the poison DLQ all
+    behave exactly like the parquet/jsonl WAL forms."""
+    path = _archive(spark, tmpdir_path, GOOD + POISON + NON_ROW)
+    tbl = MergeTable.create(
+        spark, f"{tmpdir_path}/target", target_schema(),
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=8,
+    )
+    pipe = CdcApplyPipeline(spark, path, tbl, f"{tmpdir_path}/state",
+                            events_format="kafka")
+    pipe.run()
+    state = {(r["repo"], r["path"]): (r["commit_seq"], r["content_len"])
+             for r in tbl.read().collect()}
+    assert set(state) == {("alice", "src/alice.py"),
+                          ("carol", "src/carol.py"),
+                          ("dave", "src/dave.py")}
+    assert state[("alice", "src/alice.py")] == (2, len("v2"))
+    dead_keys = {(r["repo"], r["path"]) for r in
+                 tbl.read(with_deleted=True)
+                 .filter(F.col("_deleted")).collect()}
+    assert dead_keys == {("bob", "src/bob.py")}
+    # DLQ: every poison record parked once, tagged, idempotent on re-scan
+    q = pipe.quarantine().collect()
+    assert len(q) == len(POISON)
+    assert {r["error"] for r in q} == {"malformed_source_line"}
+    assert pipe.quarantine_malformed_source() == 0
+
+
+def test_kafka_stream_standin_matches_archive(spark, tmpdir_path):
+    """The streaming path (file-backed record stand-in, identical record
+    shape to format('kafka')) must deliver the same valid rows and the
+    same poison (raw value preserved) as the batch archive read."""
+    from ore_etl_spark.pipeline.continuous import stream_decoded
+
+    path = _archive(spark, tmpdir_path, GOOD + POISON)
+    seen = {"valid": 0, "malformed": set(), "seqs": set()}
+
+    def apply_fn(batch_df, epoch_id):
+        assert "_malformed" in batch_df.columns
+        dead = batch_df.filter(F.col("delivery_seq").isNull()
+                               & F.col("_malformed").isNotNull()).collect()
+        seen["malformed"] |= {r["_malformed"] for r in dead}
+        ok = batch_df.filter(F.col("is_valid")).collect()
+        seen["valid"] += len(ok)
+        seen["seqs"] |= {r["delivery_seq"] for r in ok}
+
+    q = stream_decoded(spark, path, None, f"{tmpdir_path}/kckpt", apply_fn,
+                       events_format="kafka")
+    q.awaitTermination(180)
+    assert seen["valid"] == len(GOOD)
+    assert seen["seqs"] == {1, 2, 3, 4, 5, 106}
+    batch = read_kafka_archive(spark, path, keep_malformed=True)
+    batch_raws = {r["_malformed"] for r in
+                  batch.filter(F.col("_malformed").isNotNull()).collect()}
+    assert seen["malformed"] == batch_raws and len(batch_raws) == len(POISON)
