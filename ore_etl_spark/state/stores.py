@@ -20,9 +20,24 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import socket
 import threading
 import time
 import uuid
+
+
+def _lock_holder(lock: str) -> str:
+    """Best-effort description of who holds ``lock`` (round-4 ADVICE: with
+    the heartbeat, a live-but-stalled holder pins the lock forever, and a
+    bare TimeoutError left the operator blind to WHO is stuck)."""
+    try:
+        with open(lock) as f:
+            content = f.read()
+        who = content.split("\n", 1)[1].strip() if "\n" in content else "pre-identity lock"
+        age = time.time() - os.path.getmtime(lock)
+        return f"held by {who or 'unknown'}; mtime age {age:.1f}s (a fresh mtime means the holder is alive and heartbeating)"
+    except OSError:
+        return "lock file vanished while timing out"
 
 
 @contextlib.contextmanager
@@ -49,7 +64,11 @@ def _file_lock(path: str, timeout_s: float = 30.0, poll_s: float = 0.005):
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, token.encode())
+            # line 1: the ownership token (all compare sites read only this
+            # line); line 2: holder identity for stuck-lock diagnostics
+            os.write(fd, (token + "\n" + json.dumps(
+                {"pid": os.getpid(), "host": socket.gethostname(),
+                 "acquired_at": round(time.time(), 3)})).encode())
             os.close(fd)
             break
         except FileExistsError:
@@ -69,7 +88,9 @@ def _file_lock(path: str, timeout_s: float = 30.0, poll_s: float = 0.005):
             # contention, persistent unlink errors) must stay bounded —
             # a continue that skipped this check could busy-spin forever
             if time.time() > deadline:
-                raise TimeoutError(f"could not acquire {lock} in {timeout_s}s")
+                raise TimeoutError(
+                    f"could not acquire {lock} in {timeout_s}s "
+                    f"({_lock_holder(lock)})")
             stole = False
             try:
                 st = os.stat(lock)
@@ -107,7 +128,7 @@ def _file_lock(path: str, timeout_s: float = 30.0, poll_s: float = 0.005):
         while not stop_beat.wait(timeout_s / 4):
             try:
                 with open(lock) as f:
-                    if f.read() != token:
+                    if f.read().split("\n", 1)[0] != token:
                         return  # our lock was (wrongly) stolen — stop
                 os.utime(lock)
             except OSError:
@@ -124,7 +145,7 @@ def _file_lock(path: str, timeout_s: float = 30.0, poll_s: float = 0.005):
         # our lock, do NOT remove the new holder's file
         try:
             with open(lock) as f:
-                if f.read() == token:
+                if f.read().split("\n", 1)[0] == token:
                     os.unlink(lock)
         except OSError:
             pass

@@ -387,3 +387,58 @@ def test_stale_steal_mutex_is_cleared(tmpdir_path):
         pass
     assert time.time() - t0 < 2.0
     assert not os.path.exists(lock) and not os.path.exists(lock + ".steal")
+
+
+def test_lock_timeout_names_the_holder(tmpdir_path):
+    """Round-4 ADVICE: the heartbeat means a live-but-stalled holder pins
+    the lock forever, so the waiter's TimeoutError must say WHO holds it
+    (pid/host from the lock file's identity line) and how fresh the
+    heartbeat is — an operator-diagnosable stall, not an opaque one."""
+    import os
+    import re
+    import time
+
+    from ore_etl_spark.state import stores
+
+    path = f"{tmpdir_path}/ledger.json"
+    # a genuine holder writes the two-line token+identity format
+    with stores._file_lock(path, timeout_s=30.0):
+        lock = path + ".lock"
+        with open(lock) as f:
+            content = f.read()
+        assert "\n" in content and '"pid"' in content
+        # the waiter's timeout is also its staleness horizon, and the
+        # holder's heartbeat period (its own timeout/4) is longer than
+        # this waiter's whole wait — pin mtime forward so the short
+        # waiter cannot (legitimately, per the horizon rule) steal
+        fut = time.time() + 60
+        os.utime(lock, (fut, fut))
+        # a second waiter (fresh mtime -> unstealable) times out loudly
+        with pytest.raises(TimeoutError) as ei:
+            with stores._file_lock(path, timeout_s=0.3):
+                pass
+        msg = str(ei.value)
+        assert str(os.getpid()) in msg and "host" in msg
+        assert re.search(r"mtime age -?\d+\.\d+s", msg)
+    # released cleanly despite the failed waiter
+    assert not os.path.exists(path + ".lock")
+
+
+def test_lock_timeout_on_pre_identity_lock(tmpdir_path):
+    """A lock file from an older (single-line) writer still yields a
+    diagnosable timeout message rather than an IndexError."""
+    import os
+    import time
+
+    from ore_etl_spark.state import stores
+
+    path = f"{tmpdir_path}/ledger.json"
+    lock = path + ".lock"
+    with open(lock, "w") as f:
+        f.write("bare-token-no-identity")
+    fut = time.time() + 60  # keep it unstealable for the whole wait
+    os.utime(lock, (fut, fut))
+    with pytest.raises(TimeoutError) as ei:
+        with stores._file_lock(path, timeout_s=0.3):
+            pass
+    assert "pre-identity lock" in str(ei.value)
