@@ -161,14 +161,16 @@ class CdcApplyPipeline:
         see them — park them in the quarantine (error=
         ``malformed_source_line`` / ``missing_delivery_seq``, raw line in
         ``payload`` so a ``redrive(fix_fn=...)`` can repair them) before
-        processing. For missing-seq rows the original line isn't retained
-        by the JSON reader, so the payload is a deterministic ``to_json``
-        re-render of the parsed fields. Dedup is BY CONTENT (the payload
-        column is the quarantine's idempotency key): two source lines that
-        re-render identically — e.g. an explicit ``\"delivery_seq\": null``
-        vs the field omitted, or field-order variants — park as ONE row,
-        so a redrive repairs/re-injects one event, not duplicates (same
-        rule verbatim-duplicate malformed raw lines already follow).
+        processing. The payload is the ORIGINAL source line whenever the
+        source can supply one (JSONL's ``_raw`` carries every line's true
+        bytes; round-4 ADVICE closed the lossy ``to_json``-re-render hole
+        where two lines differing only in non-schema fields collapsed and
+        one became unrecoverable); a schema-field re-render remains only
+        as the last-resort fallback for sources with no raw form. Dedup
+        is BY CONTENT (the payload column is the quarantine's idempotency
+        key): verbatim-duplicate lines park as ONE row, so a redrive
+        repairs/re-injects one event, not duplicates — while any byte
+        difference keeps lines distinct.
         Idempotent: rewrites one fixed quarantine sub-dir from the source
         each call. Returns the count of newly parked rows.
 
@@ -181,9 +183,10 @@ class CdcApplyPipeline:
             return 0
         bad = self._events_with_malformed().filter(
             F.col("delivery_seq").isNull())
-        raw_cols = [c for c in bad.columns if c != "_malformed"]
+        raw_cols = [c for c in bad.columns if c not in ("_malformed", "_raw")]
         raw_line = F.coalesce(
             F.col("_malformed"),
+            *([F.col("_raw")] if "_raw" in bad.columns else []),
             F.to_json(F.struct(*[F.col(c) for c in raw_cols])))
         out = bad.select(
             *[F.col(c) if c != "payload"

@@ -78,21 +78,39 @@ def read_jsonl_wal(spark: SparkSession, path: str,
     quarantine distinguishes them by error tag. A partially-parseable
     line that still yields its delivery_seq flows through the normal
     decode→quarantine machinery.
+
+    ``keep_malformed=True`` additionally carries EVERY line's original
+    source text in ``_raw`` (text scan + ``from_json``, same parser).
+    Round-4 ADVICE: a valid-JSON seq-less line used to quarantine as a
+    lossy ``to_json`` re-render of its schema fields, so two source lines
+    differing only in non-schema fields collapsed to one parked row and
+    the second original line was unrecoverable. With ``_raw`` the
+    quarantine parks the true bytes — distinct lines stay distinct,
+    verbatim duplicates still dedup.
     """
     full = T.StructType(
         (schema or wal_event_schema()).fields
         + [T.StructField("_malformed", T.StringType(), True)]
     )
+    if keep_malformed:
+        # blank-line filter mirrors the JSON datasource, which skips
+        # whitespace-only lines instead of flagging them corrupt
+        raw = (spark.read.text(path)
+               .filter(F.length(F.trim(F.col("value"))) > 0))
+        parsed = raw.select(
+            F.from_json(F.col("value"), full,
+                        {"mode": "PERMISSIVE",
+                         "columnNameOfCorruptRecord": "_malformed"})
+            .alias("j"),
+            F.col("value").alias("_raw"))
+        return parsed.select("j.*", "_raw")
     df = (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_malformed")
         .json(path)
     )
-    dead = F.col("delivery_seq").isNull()
-    if keep_malformed:
-        return df
-    return df.filter(~dead).drop("_malformed")
+    return df.filter(F.col("delivery_seq").isNotNull()).drop("_malformed")
 
 
 def from_debezium(envelopes: DataFrame) -> DataFrame:

@@ -94,23 +94,37 @@ def test_missing_delivery_seq_rows_are_quarantined(spark, tmpdir_path):
     jl_path = f"{tmpdir_path}/events_jsonl"
     wal.write.json(jl_path)
     n_events = wal.count()
+    lines = [
+        json.dumps({"event_id": 999999, "op": "INSERT",
+                    "repo": "ghost", "path": "src/ghost.py",
+                    "payload": "AAAA"}),
+        json.dumps({"event_id": 999998, "delivery_seq": None,
+                    "repo": "ghost2"}),
+        # round-4 ADVICE: these two differ ONLY in a non-schema field —
+        # the old to_json re-render collapsed them to one parked row and
+        # lost the second original line; with _raw both must survive
+        json.dumps({"event_id": 999997, "repo": "ghost3",
+                    "upstream_note": "first"}),
+        json.dumps({"event_id": 999997, "repo": "ghost3",
+                    "upstream_note": "second"}),
+        # verbatim duplicate of line 1: still dedups to one row
+        json.dumps({"event_id": 999999, "op": "INSERT",
+                    "repo": "ghost", "path": "src/ghost.py",
+                    "payload": "AAAA"}),
+    ]
     with open(os.path.join(jl_path, "part-zz-noseq.json"), "w") as f:
-        f.write(json.dumps({"event_id": 999999, "op": "INSERT",
-                            "repo": "ghost", "path": "src/ghost.py",
-                            "payload": "AAAA"}) + "\n")
-        f.write(json.dumps({"event_id": 999998, "delivery_seq": None,
-                            "repo": "ghost2"}) + "\n")
+        f.write("\n".join(lines) + "\n")
 
-    # batchable stream excludes BOTH seq-less rows
+    # batchable stream excludes ALL seq-less rows
     assert read_jsonl_wal(spark, jl_path).count() == n_events
     pipe = _make_pipe(spark, tmpdir_path, jl_path, "jsonl")
     pipe.run()
-    q = {r["error"]: r for r in pipe.quarantine().collect()}
-    assert set(q) == {"missing_delivery_seq"}
-    rows = [r for r in pipe.quarantine().collect()]
-    assert len(rows) == 2
-    # payload carries a re-rendered line a redrive fix_fn can repair
-    assert all("ghost" in r["payload"] for r in rows)
+    rows = pipe.quarantine().collect()
+    assert {r["error"] for r in rows} == {"missing_delivery_seq"}
+    # 5 source lines -> 4 parked (only the verbatim duplicate collapses)
+    assert len(rows) == 4
+    # payloads are the ORIGINAL source bytes, redrive-repairable
+    assert sorted(r["payload"] for r in rows) == sorted(set(lines))
     # idempotent: a second scan parks nothing new
     assert pipe.quarantine_malformed_source() == 0
 
