@@ -72,9 +72,10 @@ def stream_decoded(
     with the same explicit schema (schema-on-read; the raw-queue shape the
     reference consumes). Mirroring ``read_jsonl_wal``'s batch contract, a
     ``_malformed`` corrupt-record column carries the raw text of non-JSON
-    lines into the micro-batch so foreachBatch consumers can park the
-    original line (without it Spark would deliver an all-NULL row and the
-    raw text would be lost — weaker than the batch path's quarantine).
+    lines into the micro-batch, and ``_raw`` carries EVERY line's original
+    text — so foreachBatch consumers can park any dead row (non-JSON OR
+    valid-JSON-but-seq-less) by its true source bytes, exactly like the
+    batch path's quarantine after the round-5 raw-line fix.
 
     ``events_format='kafka'`` streams broker records (S6 realtime
     parity). ``broker`` selects the physical source: a dict (
@@ -111,13 +112,24 @@ def stream_decoded(
         stream_schema = T.StructType(
             list(schema.fields)
             + [T.StructField("_malformed", T.StringType(), True)])
-        src = (
-            spark.readStream.schema(stream_schema)
+        # text + from_json (the batch reader's keep_malformed construction):
+        # EVERY line keeps its original text in _raw, so foreachBatch
+        # consumers can park seq-less valid-JSON rows by their true source
+        # bytes too, not just non-JSON lines — full batch-quarantine parity
+        raw = (
+            spark.readStream
             .option("maxFilesPerTrigger", "16")
-            .option("mode", "PERMISSIVE")
-            .option("columnNameOfCorruptRecord", "_malformed")
-            .json(events_path)
+            .text(events_path)
+            # the JSON datasource skips whitespace-only lines; mirror it
+            .filter(F.length(F.trim(F.col("value"))) > 0)
         )
+        src = raw.select(
+            F.from_json(F.col("value"), stream_schema,
+                        {"mode": "PERMISSIVE",
+                         "columnNameOfCorruptRecord": "_malformed"})
+            .alias("j"),
+            F.col("value").alias("_raw"),
+        ).select("j.*", "_raw")
     else:
         src = (
             spark.readStream.schema(schema)

@@ -132,26 +132,34 @@ def test_missing_delivery_seq_rows_are_quarantined(spark, tmpdir_path):
 def test_streaming_jsonl_malformed_carries_raw_line(spark, tmpdir_path):
     """Streaming parity with read_jsonl_wal's quarantine contract: a
     non-JSON line must reach foreachBatch with its raw text in
-    _malformed (not as an anonymous all-NULL row) so the consumer can
-    park the original line."""
+    _malformed (not as an anonymous all-NULL row), and EVERY dead row —
+    including a valid-JSON line that lacks delivery_seq — must carry its
+    original source bytes in _raw, so the consumer can park true lines
+    (the batch path's round-5 raw-line contract)."""
     from ore_etl_spark.pipeline.continuous import stream_decoded
 
     wal = generate_wal(spark, n_keys=30, n_partitions=2,
                        corrupt_rate_permille=0)
     jl_path = f"{tmpdir_path}/events_jsonl"
     wal.write.json(jl_path)
+    noseq_line = json.dumps({"event_id": 424242, "repo": "ghost",
+                             "upstream_note": "not in schema"})
     with open(os.path.join(jl_path, "part-zz-bad.json"), "w") as f:
         f.write("<<not json at all\n")
+        f.write(noseq_line + "\n")
 
-    seen = {"malformed": [], "valid": 0}
+    seen = {"malformed": [], "noseq_raw": [], "valid": 0}
 
     def apply_fn(batch_df, epoch_id):
         assert "_malformed" in batch_df.columns
+        assert "_raw" in batch_df.columns
         # dead rows (can never be watermarked) carry their raw line —
         # same predicate the batch path's quarantine uses
-        rows = batch_df.filter(F.col("delivery_seq").isNull()
-                               & F.col("_malformed").isNotNull()).collect()
-        seen["malformed"].extend(r["_malformed"] for r in rows)
+        dead = batch_df.filter(F.col("delivery_seq").isNull()).collect()
+        seen["malformed"].extend(
+            r["_malformed"] for r in dead if r["_malformed"] is not None)
+        seen["noseq_raw"].extend(
+            r["_raw"] for r in dead if r["_malformed"] is None)
         seen["valid"] += batch_df.filter(F.col("is_valid")).count()
 
     q = stream_decoded(spark, jl_path, wal_event_schema(),
@@ -159,6 +167,9 @@ def test_streaming_jsonl_malformed_carries_raw_line(spark, tmpdir_path):
                        events_format="jsonl")
     q.awaitTermination(180)
     assert seen["malformed"] == ["<<not json at all"]
+    # the seq-less valid-JSON row arrived with its ORIGINAL bytes,
+    # non-schema field and all
+    assert seen["noseq_raw"] == [noseq_line]
     assert seen["valid"] == wal.count()
 
 
