@@ -29,9 +29,11 @@ in ``_malformed`` — the exact contract ``read_jsonl_wal`` set, so
 vanishes, redrive can repair).
 
 Broker metadata fills envelope gaps deterministically: a missing
-``delivery_seq`` falls back to the Kafka offset (the broker's own total
-order within a partition), a missing ``source.partition_id`` to the Kafka
-partition, a missing ``ts_ms`` to the broker timestamp.
+``delivery_seq`` falls back to ``(offset << 20) | partition`` (offsets
+are a total order only within a partition, so the bare offset would
+collide across partitions), a missing ``source.partition_id`` to the
+Kafka partition, a missing ``ts_ms`` to the broker timestamp in
+milliseconds.
 """
 
 from __future__ import annotations
@@ -154,10 +156,22 @@ def from_kafka_records(records: DataFrame,
             F.coalesce(F.col("_env.source.partition_id"),
                        F.col("_kpartition")).alias("partition_id"),
         ).alias("source"),
+        # offset is a total order only WITHIN a partition — two partitions
+        # both have an offset 7, and a bare-offset fallback would collide
+        # delivery_seq (and the event_id derived from it) across them.
+        # (offset << 20) | partition is unique and per-partition monotone:
+        # good for offsets < 2^43 (~8.8e12 records/partition) and
+        # partitions < 2^20 (~1M) — far past Kafka deployment limits.
+        # Offset in the HIGH bits keeps delivery_seq roughly time-ordered
+        # across partitions filling at similar rates, so watermark batches
+        # drain all partitions together instead of one at a time.
         F.coalesce(F.col("_env.delivery_seq"),
-                   F.col("_koffset")).alias("delivery_seq"),
+                   F.shiftleft(F.col("_koffset"), 20)
+                   + F.col("_kpartition").cast("long")).alias("delivery_seq"),
+        # unix_millis, not unix_timestamp*1000: the latter truncates to
+        # whole seconds and ts_ms is a millisecond-precision contract
         F.coalesce(F.col("_env.ts_ms"),
-                   (F.unix_timestamp(F.col("_kts")) * 1000)).alias("ts_ms"),
+                   F.unix_millis(F.col("_kts"))).alias("ts_ms"),
     )
     wal = from_debezium(envs)
     if not keep_malformed:

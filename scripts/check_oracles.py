@@ -43,7 +43,13 @@ FLOAT_TOL = {
 # construction — if more than this fraction of cells needs it, that's a
 # systematic bias (e.g. a wrong rounding mode on every row), not a
 # rounding-boundary coincidence, and the query FAILS (round-4 ADVICE).
+# Absolute floor of 1 cell: a small-output query (e.g. a handful of
+# groups x 4 columns) must not fail on one legitimate boundary flip just
+# because 1/30 cells > 1%.
 FLOAT_TOL_MAX_CELL_FRAC = 0.01
+
+def _tol_budget(n_cells: int) -> int:
+    return max(1, int(FLOAT_TOL_MAX_CELL_FRAC * n_cells))
 
 # Queries verified HERE but deliberately outside the driver's 50-slot
 # oracle_sql() gate (the driver evaluates exactly 50 entries in dict
@@ -155,16 +161,16 @@ def main():
         )
         if srows != orows and name in FLOAT_TOL:
             ok, n_tol, n_cells = rows_close(srows, orows, FLOAT_TOL[name])
-            frac = n_tol / n_cells
-            if ok and frac <= FLOAT_TOL_MAX_CELL_FRAC:
+            budget = _tol_budget(n_cells)
+            if ok and n_tol <= budget:
                 print(f"{name:35s} OK-within-tol ({len(sdf)} rows, "
                       f"tol={FLOAT_TOL[name]}, {n_tol}/{n_cells} cells "
                       f"tolerated)")
                 continue
             if ok:
                 print(f"{name:35s} TOLERANCE OVERUSE: {n_tol}/{n_cells} "
-                      f"cells ({frac:.1%}) > {FLOAT_TOL_MAX_CELL_FRAC:.0%}"
-                      f" — systematic bias, not boundary flips")
+                      f"cells > budget {budget} "
+                      f"— systematic bias, not boundary flips")
                 failures.append(name)
                 continue
         if srows != orows:

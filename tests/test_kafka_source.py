@@ -23,7 +23,7 @@ from ore_etl_spark.sources.kafka import (from_kafka_records,
 from ore_etl_spark.tables.merge_table import MergeTable
 
 
-def _env(op, who, ver, content, with_seq=True, before=False):
+def _env(op, who, ver, content, with_seq=True, before=False, with_ts=True):
     image = {"repo": who, "path": f"src/{who}.py", "commit": f"c{ver}",
              "lang": "python", "content": content}
     d = {
@@ -32,8 +32,9 @@ def _env(op, who, ver, content, with_seq=True, before=False):
         "after": None if op == "d" else image,
         "source": {"commit_seq": ver, "event_seq": 0,
                    "partition_id": 0 if with_seq else None},
-        "ts_ms": 1_700_000_000_000 + ver,
     }
+    if with_ts:
+        d["ts_ms"] = 1_700_000_000_000 + ver
     if op == "d":
         d["before"], d["after"] = image, None
     if with_seq:
@@ -78,11 +79,43 @@ NON_ROW = [
 def test_from_kafka_records_normalizes_and_backfills(spark):
     wal = from_kafka_records(_records(spark, GOOD))
     rows = {r["delivery_seq"]: r for r in wal.collect()}
-    # dave's envelope had no delivery_seq/partition_id: offset + partition
-    assert set(rows) == {1, 2, 3, 4, 5, 106}
-    assert rows[106]["repo"] == "dave" and rows[106]["partition_id"] == 1
+    # dave's envelope had no delivery_seq/partition_id: broker metadata
+    # backfills as (offset << 20) | partition — NOT the bare offset,
+    # which is only ordered within a partition
+    dave_seq = (106 << 20) | 1
+    assert set(rows) == {1, 2, 3, 4, 5, dave_seq}
+    assert rows[dave_seq]["repo"] == "dave"
+    assert rows[dave_seq]["partition_id"] == 1
     assert rows[2]["op"] == "UPDATE" and rows[4]["op"] == "DELETE"
     assert rows[4]["repo"] == "bob"  # delete keyed by the before image
+
+
+def test_kafka_seq_backfill_is_unique_across_partitions(spark):
+    """Two seq-less envelopes at the SAME offset in different partitions
+    must not collide on delivery_seq (or the event_id derived from it) —
+    Kafka offsets are per-partition sequences, not a global order. And a
+    ms-precision broker timestamp backfills ts_ms without second
+    truncation."""
+    ts = datetime.datetime(2024, 1, 2, 3, 4, 5, 678000)
+    rows = [
+        (None, _env("c", "p0", 10, "a", with_seq=False,
+                    with_ts=False).encode(), "topic-a", 0, 7, ts),
+        (None, _env("c", "p1", 11, "b", with_seq=False,
+                    with_ts=False).encode(), "topic-a", 1, 7, ts),
+    ]
+    # _env(with_seq=False) still fixes partition_id=None in source
+    rec = spark.createDataFrame(rows, kafka_record_schema())
+    wal = from_kafka_records(rec).collect()
+    seqs = {r["delivery_seq"] for r in wal}
+    ids = {r["event_id"] for r in wal}
+    assert seqs == {(7 << 20) | 0, (7 << 20) | 1}
+    assert len(ids) == 2
+    # within-partition order is preserved by the encoding
+    assert ((8 << 20) | 0) > ((7 << 20) | 0) > ((6 << 20) | 0)
+    # ts came from the broker timestamp at millisecond precision: the
+    # engine's ts is the envelope ts_ms rendered UTC — check the WAL ts
+    # second fraction survived (05.678, not 05.000)
+    assert all(r["ts"].microsecond == 678000 for r in wal)
 
 
 def test_kafka_poison_routes_to_malformed_not_silence(spark):
@@ -154,7 +187,7 @@ def test_kafka_stream_standin_matches_archive(spark, tmpdir_path):
                        events_format="kafka")
     q.awaitTermination(180)
     assert seen["valid"] == len(GOOD)
-    assert seen["seqs"] == {1, 2, 3, 4, 5, 106}
+    assert seen["seqs"] == {1, 2, 3, 4, 5, (106 << 20) | 1}
     batch = read_kafka_archive(spark, path, keep_malformed=True)
     batch_raws = {r["_malformed"] for r in
                   batch.filter(F.col("_malformed").isNotNull()).collect()}
