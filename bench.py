@@ -78,19 +78,49 @@ def _bench_sim_knn_join(spark, sf_dir: str):
     it is EXACT against the brute-force DuckDB oracle (round-4 ADVICE).
     The bench keeps timing the sub-quadratic banded-LSH configuration —
     the 10^9-vector path whose recall floor tests/test_ann_recall.py pins
-    against that same brute force."""
+    against that same brute force. Input built with the entry module's
+    own _read/_spread so this times the production input shape, not a
+    hand-rolled copy that could drift."""
+    import __spark_entry__ as entry_mod
+
     from ore_etl_spark.functions.similarity import knn_join
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
-        .repartition(max(2, spark.sparkContext.defaultParallelism)) \
-        .select("vec_id", "embedding", "label")
+    e = entry_mod._spread(spark, entry_mod._read(spark, sf_dir, "embeddings"))
+    # target_bucket_rows: band_bits auto-grows with N so the candidate
+    # join stays ~N*target instead of N^2/2^bits. 512 resolves to
+    # band_bits=2 at sf0.1 (identical to the r3/r4 timed config) and 6 at
+    # sf1 — the fixed-bits config measured 2.9 s -> 163 s over that 10x.
     return knn_join(e, k=3, dim=64, n_bands=2, band_bits=2,
+                    target_bucket_rows=512,
                     round_to=4).withColumnRenamed("rank", "rk")
+
+
+def _bench_dedup_simhash_radius(spark, sf_dir: str):
+    """Bench-only scale config: the gated entry pins bits=16 (the sf0.01
+    oracle's exact semantics); the bench widens the signature with corpus
+    size (target_bucket_rows) because a 16-bit simhash is both quadratic
+    to band (16 buckets/band) and semantically saturated past ~10^5 docs.
+    320 resolves to bits=16 at sf0.1 (identical to the r4 timed config)
+    and bits=32 at sf1 — fixed 16 bits measured 1.2 s -> 111 s over that
+    10x."""
+    import __spark_entry__ as entry_mod
+
+    from ore_etl_spark.functions.dedup import simhash_radius_pairs
+    from pyspark.sql import functions as F
+
+    d = entry_mod._spread(spark, entry_mod._read(spark, sf_dir, "documents"))
+    out = simhash_radius_pairs(d, radius=3, n_bands=4,
+                               target_bucket_rows=320)
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("int").alias("hamming"))
 
 
 # name -> callable: bench-only variants where the correctness-gated
 # queries() entry deliberately runs a small-scale-exact configuration
-BENCH_QUERY_OVERRIDES = {"sim_knn_join": _bench_sim_knn_join}
+BENCH_QUERY_OVERRIDES = {
+    "sim_knn_join": _bench_sim_knn_join,
+    "dedup_simhash_radius": _bench_dedup_simhash_radius,
+}
 
 
 def _sf_of(path: str) -> float:

@@ -201,7 +201,9 @@ def simhash_signatures_agg(
 
     Returns (id, sig).
     """
-    hex_chars = bits // 4
+    # ceil: for bits not a multiple of 4 (n_bands=6 widths), truncating
+    # would zero the top vote bits — harvest one extra hex char instead
+    hex_chars = (bits + 3) // 4
     toks = F.filter(F.split(norm_text(F.col(text_col)), " "), lambda t: t != "")
     # explode_outer keeps zero-token docs (NULL tok -> NULL h -> vote 0 ->
     # sig 0), matching simhash16's empty-array behavior exactly
@@ -235,6 +237,8 @@ def simhash_radius_pairs(
     n_bands: int = 4,
     bits: int = 16,
     max_bucket_rows: int | None = 10_000,
+    target_bucket_rows: int | None = None,
+    approx_n: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs within hamming distance <= ``radius`` of a 16-bit
     SimHash — the banded candidate generation the plain signature-collision
@@ -255,9 +259,32 @@ def simhash_radius_pairs(
     cluster of (near-)identical signatures, where the split trades the
     pigeonhole completeness WITHIN the monster bucket for a Σ|bucket|² bound;
     under-cap buckets keep the exact radius-recall guarantee.
+
+    ``target_bucket_rows``: auto-WIDEN the signature so the banding keeps
+    up with the corpus. A fixed 16-bit simhash has 2^(16/4)=16 band
+    buckets — bucket size grows as N/16 and the candidate join goes
+    quadratic (measured 1.2 s → 111 s at sf0.1 → sf1); worse, at ~10⁵+
+    docs only 65,536 distinct signatures exist, so even the TRUE radius-3
+    pair set is Θ(N²) — a 16-bit sketch stops meaning "near-dup" long
+    before 100 TB. With a target, bits := n_bands * max(bits/n_bands,
+    ceil(log2(n/target))): band buckets stay ≥ n/target so the expected
+    bucket is ~target rows, and the wider signature keeps radius
+    semantics discriminating at scale. The pigeonhole guarantee
+    (radius < n_bands) is width-independent, so it survives the widening.
+    Widening CHANGES which pairs fall within the radius (by design — more
+    bits = a stricter, better sketch); callers pinning exact output (the
+    sf0.01 oracle) pass a fixed ``bits`` and no target.
     """
     if radius >= n_bands:
         raise ValueError("need radius < n_bands for the pigeonhole guarantee")
+    if target_bucket_rows is not None:
+        import math
+
+        n = approx_n if approx_n is not None else df.count()
+        need = math.ceil(math.log2(max(1.0, n / target_bucket_rows)))
+        bits = n_bands * max(bits // n_bands, int(need))
+        if bits > 60:  # sig accumulates as one signed long
+            bits = 60 - (60 % n_bands)
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     sigs = simhash_signatures_agg(df, text_col, id_col, bits)

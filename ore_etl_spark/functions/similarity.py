@@ -488,6 +488,8 @@ def knn_join(
     band_bits: int = 2,
     round_to: int = 6,
     max_bucket_rows: int | None = 10_000,
+    target_bucket_rows: int | None = None,
+    approx_n: int | None = None,
 ) -> DataFrame:
     """Per-row k nearest neighbors — the curation workhorse ("for EVERY
     document, its k nearest") — without ever materializing all pairs.
@@ -500,12 +502,22 @@ def knn_join(
     neighbors — recall is tuned with n_bands × band_bits (more bands =
     higher recall at more candidates; tests/test_ann_recall.py pins a
     measured floor vs brute force). Returns (id, nbr, cos_sim, rank).
+
+    ``target_bucket_rows``: pass-through to ``lsh_band_pairs``'s
+    auto-sizing — band_bits grows with N so the EXPECTED bucket (and with
+    it per-row candidate work) stays constant as the corpus scales. With
+    a fixed band_bits, bucket size is N/2^band_bits and the candidate
+    join is Σ|bucket|² = quadratic in N — measured 2.9 s → 163 s going
+    sf0.1 → sf1 before this knob existed. At 10⁹ vectors this is the
+    difference between a working KNN join and an impossible one.
     """
     if dim is None:
         raise ValueError("dim is required (hyperplanes are literal arrays)")
     cand = lsh_band_pairs(df, vec_col, id_col, dim=dim,
                           n_bands=n_bands, band_bits=band_bits,
-                          max_bucket_rows=max_bucket_rows)
+                          max_bucket_rows=max_bucket_rows,
+                          target_bucket_rows=target_bucket_rows,
+                          approx_n=approx_n)
     # symmetrize: each undirected candidate pair feeds both directions
     sym = cand.select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr")) \
         .unionAll(cand.select(F.col("id_b").alias("id"),

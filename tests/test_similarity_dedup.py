@@ -244,6 +244,74 @@ def test_simhash_radius_is_banded_not_all_pairs(spark):
         simhash_radius_pairs(df, radius=4, n_bands=4)  # pigeonhole violated
 
 
+def test_simhash_radius_target_widens_signature(spark):
+    """target_bucket_rows auto-widens the signature with corpus size (the
+    sf1 probe measured fixed-16-bit going quadratic: 1.2 s -> 111 s at
+    10x rows). Three contracts: (1) a target the corpus doesn't exceed
+    resolves to the caller's bits — output byte-identical to the fixed
+    config, so existing oracles/benchmarks are unaffected; (2) a tiny
+    target widens bits and the widened output still equals brute force
+    AT THAT WIDTH (the pigeonhole guarantee is width-independent);
+    (3) planted exact duplicates (hamming 0 at any width) survive."""
+    from ore_etl_spark.functions.dedup import (simhash_radius_pairs,
+                                               simhash_signatures_agg)
+
+    rnd = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = []
+    for i in range(20):
+        t = " ".join(rnd.choice(words) for _ in range(10))
+        docs.append((2 * i, t))
+        docs.append((2 * i + 1, t))  # exact dup: hamming 0 at any width
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    fixed = {(r["id_a"], r["id_b"], r["hamming"])
+             for r in simhash_radius_pairs(df, radius=3).collect()}
+    same = {(r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_radius_pairs(
+                df, radius=3, target_bucket_rows=10_000,
+                approx_n=len(docs)).collect()}
+    assert same == fixed  # target not exceeded -> bits stay 16
+
+    # target=2 over 40 docs -> need ceil(log2(20))=5 -> bits 4*5=20
+    wide = {(r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_radius_pairs(
+                df, radius=3, target_bucket_rows=2,
+                approx_n=len(docs)).collect()}
+    sigs20 = {r["id"]: r["sig"]
+              for r in simhash_signatures_agg(df, "text", "doc_id",
+                                              bits=20).collect()}
+    ids = sorted(sigs20)
+    brute20 = {(a, b, bin(sigs20[a] ^ sigs20[b]).count("1"))
+               for i, a in enumerate(ids) for b in ids[i + 1:]
+               if bin(sigs20[a] ^ sigs20[b]).count("1") <= 3}
+    assert wide == brute20
+    dup_pairs = {(2 * i, 2 * i + 1, 0) for i in range(20)}
+    assert dup_pairs <= wide and dup_pairs <= fixed
+
+
+def test_knn_join_target_bucket_rows_passthrough(spark):
+    """knn_join(target_bucket_rows=) defers to lsh_band_pairs' auto-sizing;
+    a target the corpus doesn't exceed keeps band_bits and yields the
+    byte-identical neighbor set (the sf0.1 bench config is unchanged by
+    adding the knob)."""
+    from ore_etl_spark.functions.similarity import knn_join
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)], "x")
+            for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    base = {(r["id"], r["nbr"], r["rank"])
+            for r in knn_join(df, k=3, dim=8, n_bands=2, band_bits=2,
+                              round_to=6).collect()}
+    with_target = {(r["id"], r["nbr"], r["rank"])
+                   for r in knn_join(df, k=3, dim=8, n_bands=2, band_bits=2,
+                                     target_bucket_rows=16, approx_n=64,
+                                     round_to=6).collect()}
+    # 64/16 -> need=2 == band_bits: identical config, identical output
+    assert with_target == base and base
+
+
 # ---------------------------------------------------------------- components
 
 def _union_find(edges):
