@@ -278,13 +278,17 @@ def simhash_radius_pairs(
     if radius >= n_bands:
         raise ValueError("need radius < n_bands for the pigeonhole guarantee")
     if target_bucket_rows is not None:
-        import math
+        from .similarity import band_bits_needed
 
         n = approx_n if approx_n is not None else df.count()
-        need = math.ceil(math.log2(max(1.0, n / target_bucket_rows)))
-        bits = n_bands * max(bits // n_bands, int(need))
-        if bits > 60:  # sig accumulates as one signed long
-            bits = 60 - (60 % n_bands)
+        need = band_bits_needed(n, target_bucket_rows)
+        # only WIDEN: when the caller's width already meets the target,
+        # bits passes through untouched (byte-identical output) — a
+        # reassignment here would silently SHRINK e.g. bits=16/n_bands=5
+        # to 15 and change signatures. Cap: sig accumulates as one
+        # signed long, so at most 60 usable bits.
+        if need > bits // n_bands:
+            bits = n_bands * min(need, 60 // n_bands)
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     sigs = simhash_signatures_agg(df, text_col, id_col, bits)

@@ -228,6 +228,17 @@ def _remember_persisted(df: DataFrame) -> None:
             pass
 
 
+def band_bits_needed(n: int, target_bucket_rows: int) -> int:
+    """The bucket-count exponent at which the EXPECTED band bucket holds
+    ~target rows: ceil(log2(n / target)). Shared by every banded blocker
+    that auto-sizes with corpus scale (``lsh_band_pairs`` grows its
+    band_bits, ``dedup.simhash_radius_pairs`` widens its signature) so
+    the sizing rule can only drift in one place."""
+    import math
+
+    return max(0, math.ceil(math.log2(max(1.0, n / target_bucket_rows))))
+
+
 def cap_band_buckets(bands: DataFrame, max_bucket_rows: int,
                      id_col: str = "id") -> DataFrame:
     """Band-capacity guard shared by every (band, band_key) blocker.
@@ -355,11 +366,8 @@ def lsh_band_pairs(
     if dim is None:
         raise ValueError("dim is required (hyperplanes are literal arrays)")
     if target_bucket_rows is not None:
-        import math
-
         n = approx_n if approx_n is not None else df.count()
-        need = math.ceil(math.log2(max(1.0, n / target_bucket_rows)))
-        band_bits = max(band_bits, int(need))
+        band_bits = max(band_bits, band_bits_needed(n, target_bucket_rows))
     bands = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array(*[
@@ -510,6 +518,13 @@ def knn_join(
     join is Σ|bucket|² = quadratic in N — measured 2.9 s → 163 s going
     sf0.1 → sf1 before this knob existed. At 10⁹ vectors this is the
     difference between a working KNN join and an impossible one.
+
+    Shrinking buckets costs recall at fixed n_bands; recover it with
+    MORE BANDS, never bigger buckets — per-row candidate cost is
+    ~n_bands × target (linear in bands) while bucket growth is quadratic
+    in N. Measured on the sf0.01 fixture at target=32: recall@3 0.41 at
+    4 bands → 0.68 at 8 → 0.84 at 12 (pinned in
+    tests/test_ann_recall.py).
     """
     if dim is None:
         raise ValueError("dim is required (hyperplanes are literal arrays)")

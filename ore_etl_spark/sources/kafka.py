@@ -29,11 +29,20 @@ in ``_malformed`` — the exact contract ``read_jsonl_wal`` set, so
 vanishes, redrive can repair).
 
 Broker metadata fills envelope gaps deterministically: a missing
-``delivery_seq`` falls back to ``(offset << 20) | partition`` (offsets
-are a total order only within a partition, so the bare offset would
-collide across partitions), a missing ``source.partition_id`` to the
-Kafka partition, a missing ``ts_ms`` to the broker timestamp in
-milliseconds.
+``delivery_seq`` falls back to ``offset * partition_stride + partition``
+(offsets are a total order only within a partition, so the bare offset
+would collide across partitions), a missing ``source.partition_id`` to
+the Kafka partition, a missing ``ts_ms`` to the broker timestamp in
+milliseconds. The fallback is sound for streams where NO envelope
+carries a counter ``delivery_seq`` (the backfilled seqs form a
+consistent offset-major total order among themselves); a MIXED stream —
+some producers stamping small counter seqs, some not — has no correct
+interleaving under ANY deterministic backfill, and the inflated
+backfilled seqs would drag the high-watermark past the counter range so
+later counter-stamped events are skipped as already-applied. For mixed
+streams pass ``seq_fallback="quarantine"`` so seq-less envelopes park in
+the ``missing_delivery_seq`` quarantine (redrive-able) instead of
+guessing an order.
 """
 
 from __future__ import annotations
@@ -115,7 +124,9 @@ def kafka_stream(spark: SparkSession, bootstrap_servers: str, topic: str,
 
 def from_kafka_records(records: DataFrame,
                        envelope_schema: T.StructType | None = None,
-                       keep_malformed: bool = False) -> DataFrame:
+                       keep_malformed: bool = False,
+                       seq_fallback: str = "broker",
+                       partition_stride: int = 1024) -> DataFrame:
     """Normalize broker records into WAL events.
 
     value bytes → JSON envelope (explicit schema — never inferred) →
@@ -128,7 +139,32 @@ def from_kafka_records(records: DataFrame,
     filtered here and the pipeline's ``quarantine_malformed_source``
     parks them). Valid envelopes with non-row ops ('t' truncate / 'm'
     message) are recognized — not poison — and then dropped by design in
-    ``from_debezium`` (no row image)."""
+    ``from_debezium`` (no row image).
+
+    ``seq_fallback``:
+
+    - ``"broker"`` (default): a seq-less envelope backfills
+      ``delivery_seq = offset * partition_stride + partition`` (NULL
+      partition → 0). Use for streams where envelopes never carry their
+      own counter seq — the backfilled seqs are then a consistent
+      offset-major total order. Do NOT mix with counter-stamped
+      envelopes (see the module docstring).
+    - ``"quarantine"``: no backfill — a seq-less envelope keeps a NULL
+      ``delivery_seq`` and the pipeline parks it as
+      ``missing_delivery_seq``. The safe choice for mixed streams.
+
+    ``partition_stride`` must exceed the topic's partition count (two
+    partitions p and p' at offsets o and o+1 collide iff
+    p - p' = ±stride). The default 1024 covers typical topics while
+    inflating the seq span only 1024× — span-proportional machinery
+    (``ChunkLedger.plan`` chunk counts, ``run(batch_span=)``) should
+    scale its range sizes by the stride when planning over a backfilled
+    archive. Set it to the topic's actual partition count for a dense
+    seq space (span ≈ record count)."""
+    if seq_fallback not in ("broker", "quarantine"):
+        raise ValueError("seq_fallback must be 'broker' or 'quarantine'")
+    if partition_stride < 1:
+        raise ValueError("partition_stride must be >= 1")
     env_schema = envelope_schema or debezium_envelope_schema()
     parsed = records.select(
         F.col("value").cast("string").alias("_raw"),
@@ -159,15 +195,19 @@ def from_kafka_records(records: DataFrame,
         # offset is a total order only WITHIN a partition — two partitions
         # both have an offset 7, and a bare-offset fallback would collide
         # delivery_seq (and the event_id derived from it) across them.
-        # (offset << 20) | partition is unique and per-partition monotone:
-        # good for offsets < 2^43 (~8.8e12 records/partition) and
-        # partitions < 2^20 (~1M) — far past Kafka deployment limits.
-        # Offset in the HIGH bits keeps delivery_seq roughly time-ordered
-        # across partitions filling at similar rates, so watermark batches
-        # drain all partitions together instead of one at a time.
-        F.coalesce(F.col("_env.delivery_seq"),
-                   F.shiftleft(F.col("_koffset"), 20)
-                   + F.col("_kpartition").cast("long")).alias("delivery_seq"),
+        # offset * stride + partition is unique (for partitions < stride)
+        # and per-partition monotone; offset-major order keeps
+        # delivery_seq roughly time-ordered across partitions filling at
+        # similar rates, so watermark batches drain all partitions
+        # together instead of one at a time. Partition coalesces to 0: a
+        # partially-populated archive row with a real offset is still
+        # ingestable, not quarantine fodder.
+        (F.col("_env.delivery_seq") if seq_fallback == "quarantine"
+         else F.coalesce(
+             F.col("_env.delivery_seq"),
+             F.col("_koffset") * F.lit(int(partition_stride))
+             + F.coalesce(F.col("_kpartition").cast("long"), F.lit(0)),
+         )).alias("delivery_seq"),
         # unix_millis, not unix_timestamp*1000: the latter truncates to
         # whole seconds and ts_ms is a millisecond-precision contract
         F.coalesce(F.col("_env.ts_ms"),
@@ -189,7 +229,9 @@ def from_kafka_records(records: DataFrame,
 def read_kafka_archive(spark: SparkSession, path: str,
                        archive_format: str = "parquet",
                        envelope_schema: T.StructType | None = None,
-                       keep_malformed: bool = False) -> DataFrame:
+                       keep_malformed: bool = False,
+                       seq_fallback: str = "broker",
+                       partition_stride: int = 1024) -> DataFrame:
     """Batch replay of an archived broker record dump through the same
     normalizer the stream uses (record shape = ``kafka_record_schema``)."""
     if archive_format == "jsonl":
@@ -197,7 +239,9 @@ def read_kafka_archive(spark: SparkSession, path: str,
     else:
         rec = spark.read.parquet(path)
     return from_kafka_records(rec, envelope_schema=envelope_schema,
-                              keep_malformed=keep_malformed)
+                              keep_malformed=keep_malformed,
+                              seq_fallback=seq_fallback,
+                              partition_stride=partition_stride)
 
 
 __all__ = [

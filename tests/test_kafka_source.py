@@ -80,9 +80,9 @@ def test_from_kafka_records_normalizes_and_backfills(spark):
     wal = from_kafka_records(_records(spark, GOOD))
     rows = {r["delivery_seq"]: r for r in wal.collect()}
     # dave's envelope had no delivery_seq/partition_id: broker metadata
-    # backfills as (offset << 20) | partition — NOT the bare offset,
+    # backfills as offset * stride + partition — NOT the bare offset,
     # which is only ordered within a partition
-    dave_seq = (106 << 20) | 1
+    dave_seq = 106 * 1024 + 1
     assert set(rows) == {1, 2, 3, 4, 5, dave_seq}
     assert rows[dave_seq]["repo"] == "dave"
     assert rows[dave_seq]["partition_id"] == 1
@@ -108,14 +108,49 @@ def test_kafka_seq_backfill_is_unique_across_partitions(spark):
     wal = from_kafka_records(rec).collect()
     seqs = {r["delivery_seq"] for r in wal}
     ids = {r["event_id"] for r in wal}
-    assert seqs == {(7 << 20) | 0, (7 << 20) | 1}
+    assert seqs == {7 * 1024 + 0, 7 * 1024 + 1}
     assert len(ids) == 2
-    # within-partition order is preserved by the encoding
-    assert ((8 << 20) | 0) > ((7 << 20) | 0) > ((6 << 20) | 0)
+    # within-partition order is preserved by the offset-major encoding
+    assert 8 * 1024 + 0 > 7 * 1024 + 1023 > 6 * 1024 + 0
     # ts came from the broker timestamp at millisecond precision: the
     # engine's ts is the envelope ts_ms rendered UTC — check the WAL ts
     # second fraction survived (05.678, not 05.000)
     assert all(r["ts"].microsecond == 678000 for r in wal)
+
+
+def test_kafka_seq_fallback_quarantine_for_mixed_streams(spark):
+    """A mixed stream (some envelopes counter-stamped, some seq-less) has
+    no correct interleaving under any deterministic backfill — a
+    backfilled offset-scale seq would drag the hwm past the counter range
+    and later counter-stamped events would be skipped as applied.
+    seq_fallback='quarantine' keeps seq-less envelopes at NULL seq (the
+    missing_delivery_seq park path) instead of guessing."""
+    recs = _records(spark, GOOD)
+    wal = from_kafka_records(recs, keep_malformed=True,
+                             seq_fallback="quarantine")
+    live = wal.filter(F.col("delivery_seq").isNotNull()).collect()
+    assert {r["delivery_seq"] for r in live} == {1, 2, 3, 4, 5}
+    # dave (the seq-less envelope) is NOT assigned a broker seq; its
+    # decoded row survives with NULL seq for the quarantine path
+    parked = wal.filter(F.col("delivery_seq").isNull()
+                        & F.col("_malformed").isNull()).collect()
+    assert {r["repo"] for r in parked} == {"dave"}
+
+    with pytest.raises(ValueError):
+        from_kafka_records(recs, seq_fallback="nonsense")
+
+
+def test_kafka_null_partition_still_ingests(spark):
+    """A partially-populated archive row (all record fields are nullable)
+    with a real offset but NULL partition backfills with partition 0 —
+    ingested, not silently nulled into quarantine."""
+    ts = datetime.datetime(2024, 1, 2, 3, 4, 5)
+    rows = [(None, _env("c", "nopart", 1, "x", with_seq=False).encode(),
+             "topic-a", None, 50, ts)]
+    rec = spark.createDataFrame(rows, kafka_record_schema())
+    wal = from_kafka_records(rec).collect()
+    assert len(wal) == 1
+    assert wal[0]["delivery_seq"] == 50 * 1024
 
 
 def test_kafka_poison_routes_to_malformed_not_silence(spark):
@@ -187,7 +222,7 @@ def test_kafka_stream_standin_matches_archive(spark, tmpdir_path):
                        events_format="kafka")
     q.awaitTermination(180)
     assert seen["valid"] == len(GOOD)
-    assert seen["seqs"] == {1, 2, 3, 4, 5, (106 << 20) | 1}
+    assert seen["seqs"] == {1, 2, 3, 4, 5, 106 * 1024 + 1}
     batch = read_kafka_archive(spark, path, keep_malformed=True)
     batch_raws = {r["_malformed"] for r in
                   batch.filter(F.col("_malformed").isNotNull()).collect()}

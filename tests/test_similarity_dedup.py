@@ -289,6 +289,18 @@ def test_simhash_radius_target_widens_signature(spark):
     dup_pairs = {(2 * i, 2 * i + 1, 0) for i in range(20)}
     assert dup_pairs <= wide and dup_pairs <= fixed
 
+    # bits NOT divisible by n_bands + target already met: bits must pass
+    # through UNTOUCHED (a naive n_bands*(bits//n_bands) reassignment
+    # would shrink 16 -> 15 and change every signature)
+    fixed5 = {(r["id_a"], r["id_b"], r["hamming"])
+              for r in simhash_radius_pairs(df, radius=3,
+                                            n_bands=5).collect()}
+    same5 = {(r["id_a"], r["id_b"], r["hamming"])
+             for r in simhash_radius_pairs(
+                 df, radius=3, n_bands=5, target_bucket_rows=10_000,
+                 approx_n=len(docs)).collect()}
+    assert same5 == fixed5
+
 
 def test_knn_join_target_bucket_rows_passthrough(spark):
     """knn_join(target_bucket_rows=) defers to lsh_band_pairs' auto-sizing;
