@@ -75,6 +75,7 @@ class CdcApplyPipeline:
         mor_fast_path: bool = False,
         events_format: str = "parquet",
         source_schema: T.StructType | None = None,
+        source_options: dict | None = None,
     ):
         """``mode``: 'cow' (copy-on-write conditional MERGE — read-optimized)
         or 'mor' (merge-on-read delta append — write-optimized; bytes
@@ -99,6 +100,10 @@ class CdcApplyPipeline:
         # sources/kafka.py) this is the ENVELOPE schema instead — extras
         # ride in the after-image and surface through from_debezium.
         self.source_schema = source_schema
+        # format-specific reader kwargs — for "kafka": seq_fallback
+        # ("broker"/"quarantine") and partition_stride (see
+        # sources/kafka.py for when each is correct)
+        self.source_options = dict(source_options or {})
         self.spark = spark
         self.events_path = events_path
         self.table = table
@@ -125,7 +130,8 @@ class CdcApplyPipeline:
             from ..sources.kafka import read_kafka_archive
 
             return read_kafka_archive(self.spark, self.events_path,
-                                      envelope_schema=self.source_schema)
+                                      envelope_schema=self.source_schema,
+                                      **self.source_options)
         return self.spark.read.parquet(self.events_path)
 
     def _events_with_malformed(self) -> DataFrame:
@@ -141,7 +147,8 @@ class CdcApplyPipeline:
 
         return read_kafka_archive(self.spark, self.events_path,
                                   envelope_schema=self.source_schema,
-                                  keep_malformed=True)
+                                  keep_malformed=True,
+                                  **self.source_options)
 
     def delivery_range(self) -> tuple[int, int]:
         r = self.events().agg(

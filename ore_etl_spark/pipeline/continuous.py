@@ -63,6 +63,7 @@ def stream_decoded(
     trigger_once: bool = True,
     events_format: str = "parquet",
     broker: dict | None = None,
+    source_options: dict | None = None,
 ):
     """Structured Streaming over the WAL directory with a foreachBatch sink.
 
@@ -87,7 +88,9 @@ def stream_decoded(
     ``from_kafka_records(keep_malformed=True)`` — poison records reach
     the micro-batch with NULL delivery_seq and the raw value in
     ``_malformed``, same as the jsonl contract, and ``schema`` is the
-    ENVELOPE schema (None = Debezium default).
+    ENVELOPE schema (None = Debezium default). ``source_options`` passes
+    reader kwargs (for kafka: ``seq_fallback``/``partition_stride`` —
+    see sources/kafka.py).
     """
     if events_format == "kafka":
         from ..sources.kafka import (from_kafka_records, kafka_record_schema,
@@ -105,7 +108,8 @@ def stream_decoded(
                 .parquet(events_path)
             )
         src = from_kafka_records(rec, envelope_schema=schema,
-                                 keep_malformed=True)
+                                 keep_malformed=True,
+                                 **(source_options or {}))
     elif events_format == "jsonl":
         from pyspark.sql import types as T
 

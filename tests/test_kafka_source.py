@@ -200,6 +200,57 @@ def test_kafka_archive_replay_applies_and_quarantines(spark, tmpdir_path):
     assert pipe.quarantine_malformed_source() == 0
 
 
+def test_kafka_pipeline_source_options_quarantine(spark, tmpdir_path):
+    """``CdcApplyPipeline(source_options=...)`` must reach the kafka
+    reader: with seq_fallback='quarantine' the seq-less envelope (dave)
+    is parked as missing_delivery_seq — never applied under a guessed
+    broker seq — alongside the poison DLQ rows, and the park is
+    idempotent across re-scans."""
+    path = _archive(spark, tmpdir_path, GOOD + POISON)
+    tbl = MergeTable.create(
+        spark, f"{tmpdir_path}/target_q", target_schema(),
+        key_cols=["repo", "path"], version_cols=["commit_seq", "event_seq"],
+        n_buckets=8,
+    )
+    pipe = CdcApplyPipeline(spark, path, tbl, f"{tmpdir_path}/state_q",
+                            events_format="kafka",
+                            source_options={"seq_fallback": "quarantine"})
+    pipe.run()
+    assert {r["repo"] for r in tbl.read().collect()} == {"alice", "carol"}
+    q = pipe.quarantine().collect()
+    errs = {r["error"] for r in q}
+    assert errs == {"malformed_source_line", "missing_delivery_seq"}
+    parked = [r for r in q if r["error"] == "missing_delivery_seq"]
+    assert len(parked) == 1 and '"dave"' in parked[0]["payload"]
+    assert pipe.quarantine_malformed_source() == 0
+
+
+def test_kafka_pipeline_source_options_stride(spark, tmpdir_path):
+    """partition_stride passes through both pipeline entry points: the
+    batch reader's backfilled seq for dave becomes offset*4 + partition,
+    and the streaming path sees the identical seq."""
+    from ore_etl_spark.pipeline.continuous import stream_decoded
+
+    path = _archive(spark, tmpdir_path, GOOD)
+    pipe = CdcApplyPipeline(spark, path, None, f"{tmpdir_path}/state_s",
+                            events_format="kafka",
+                            source_options={"partition_stride": 4})
+    seqs = {r["delivery_seq"] for r in pipe.events().collect()}
+    assert seqs == {1, 2, 3, 4, 5, 106 * 4 + 1}
+
+    seen = set()
+
+    def apply_fn(batch_df, epoch_id):
+        seen.update(r["delivery_seq"] for r in
+                    batch_df.filter(F.col("is_valid")).collect())
+
+    q = stream_decoded(spark, path, None, f"{tmpdir_path}/sckpt", apply_fn,
+                       events_format="kafka",
+                       source_options={"partition_stride": 4})
+    q.awaitTermination(180)
+    assert seen == seqs
+
+
 def test_kafka_stream_standin_matches_archive(spark, tmpdir_path):
     """The streaming path (file-backed record stand-in, identical record
     shape to format('kafka')) must deliver the same valid rows and the
