@@ -286,9 +286,12 @@ def simhash_radius_pairs(
         # bits passes through untouched (byte-identical output) — a
         # reassignment here would silently SHRINK e.g. bits=16/n_bands=5
         # to 15 and change signatures. Cap: sig accumulates as one
-        # signed long, so at most 60 usable bits.
+        # signed long, so at most 60 usable bits — and when the cap
+        # binds, max() keeps the caller's width rather than rounding it
+        # DOWN to n_bands * (60 // n_bands) (e.g. bits=60/n_bands=7
+        # must not shrink to 56).
         if need > bits // n_bands:
-            bits = n_bands * min(need, 60 // n_bands)
+            bits = max(bits, n_bands * min(need, 60 // n_bands))
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     sigs = simhash_signatures_agg(df, text_col, id_col, bits)

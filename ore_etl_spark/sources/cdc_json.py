@@ -194,4 +194,8 @@ def from_debezium(envelopes: DataFrame) -> DataFrame:
         .cast("timestamp_ntz").alias("ts"),
         F.length(content).cast("long").alias("size_bytes"),
         *extra_cols,
+        # a source that tracked the original wire bytes (kafka value,
+        # jsonl line) keeps them: quarantined rows park TRUE source
+        # bytes, never a lossy re-render
+        *([F.col("_raw")] if "_raw" in envelopes.columns else []),
     )

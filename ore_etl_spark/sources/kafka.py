@@ -43,6 +43,19 @@ later counter-stamped events are skipped as already-applied. For mixed
 streams pass ``seq_fallback="quarantine"`` so seq-less envelopes park in
 the ``missing_delivery_seq`` quarantine (redrive-able) instead of
 guessing an order.
+
+The backfill never GUESSES an identity it can't defend: a seq-less
+record whose partition is NULL (partially-populated archive row) or
+``>= partition_stride`` (stride misconfigured below the topic's
+partition count) gets NO backfilled seq — it parks as
+``missing_delivery_seq`` instead of silently colliding with a real
+record's delivery_seq/event_id. And the encoding is part of the seq
+space: changing ``partition_stride`` (or upgrading across a change to
+the encoding itself) over an existing state dir invalidates its
+watermarks — backfilled seqs shrink or grow past the stored
+high-watermark and events are skipped as already-applied. Re-ingest
+into a fresh ``state_dir`` (the WAL/archive is the source of truth)
+rather than resuming.
 """
 
 from __future__ import annotations
@@ -144,23 +157,37 @@ def from_kafka_records(records: DataFrame,
     ``seq_fallback``:
 
     - ``"broker"`` (default): a seq-less envelope backfills
-      ``delivery_seq = offset * partition_stride + partition`` (NULL
-      partition → 0). Use for streams where envelopes never carry their
-      own counter seq — the backfilled seqs are then a consistent
-      offset-major total order. Do NOT mix with counter-stamped
-      envelopes (see the module docstring).
+      ``delivery_seq = offset * partition_stride + partition``. Use for
+      streams where envelopes never carry their own counter seq — the
+      backfilled seqs are then a consistent offset-major total order.
+      Do NOT mix with counter-stamped envelopes (see the module
+      docstring). A seq-less record with a NULL partition or a partition
+      ``>= partition_stride`` is NOT backfilled — any guessed value
+      could collide with a real record's identity — it keeps a NULL
+      ``delivery_seq`` and parks as ``missing_delivery_seq``
+      (redrive-able once the row is repaired or the stride corrected).
     - ``"quarantine"``: no backfill — a seq-less envelope keeps a NULL
       ``delivery_seq`` and the pipeline parks it as
       ``missing_delivery_seq``. The safe choice for mixed streams.
 
     ``partition_stride`` must exceed the topic's partition count (two
     partitions p and p' at offsets o and o+1 collide iff
-    p - p' = ±stride). The default 1024 covers typical topics while
-    inflating the seq span only 1024× — span-proportional machinery
-    (``ChunkLedger.plan`` chunk counts, ``run(batch_span=)``) should
-    scale its range sizes by the stride when planning over a backfilled
-    archive. Set it to the topic's actual partition count for a dense
-    seq space (span ≈ record count)."""
+    p - p' = ±stride; records at partitions >= stride are therefore
+    parked, never backfilled). The default 1024 covers typical topics
+    while inflating the seq span only 1024× — span-proportional
+    machinery (``ChunkLedger.plan`` chunk counts, ``run(batch_span=)``)
+    should scale its range sizes by the stride when planning over a
+    backfilled archive. Set it to the topic's actual partition count for
+    a dense seq space (span ≈ record count). The stride is part of the
+    seq ENCODING — see the module docstring before changing it over an
+    existing state dir.
+
+    ``keep_malformed=True`` additionally carries every record's original
+    value text in ``_raw`` (same contract as ``read_jsonl_wal``): a
+    VALID envelope that ends up seq-less parks with its true source
+    bytes, not a lossy re-render — two distinct seq-less records
+    differing only outside the envelope schema stay distinct in the
+    quarantine."""
     if seq_fallback not in ("broker", "quarantine"):
         raise ValueError("seq_fallback must be 'broker' or 'quarantine'")
     if partition_stride < 1:
@@ -182,6 +209,24 @@ def from_kafka_records(records: DataFrame,
         F.col("_env").isNotNull()
         & F.col("_env.op").isin("c", "u", "d", "r", "t", "m"),
         F.lit(False))
+    # offset is a total order only WITHIN a partition — two partitions
+    # both have an offset 7, and a bare-offset fallback would collide
+    # delivery_seq (and the event_id derived from it) across them.
+    # offset * stride + partition is unique (for partitions < stride)
+    # and per-partition monotone; offset-major order keeps
+    # delivery_seq roughly time-ordered across partitions filling at
+    # similar rates, so watermark batches drain all partitions
+    # together instead of one at a time. The when() guard refuses to
+    # backfill a NULL partition (condition NULL → no branch → NULL seq)
+    # or a partition >= stride: either guess could silently share a
+    # delivery_seq/event_id with a REAL record, so both park as
+    # missing_delivery_seq instead (recoverable; identity is never
+    # invented).
+    backfill = F.when(
+        F.col("_kpartition").cast("long") < F.lit(int(partition_stride)),
+        F.col("_koffset") * F.lit(int(partition_stride))
+        + F.col("_kpartition").cast("long"),
+    )
     envs = parsed.filter(ok).select(
         F.col("_env.op").alias("op"),
         F.col("_env.before").alias("before"),
@@ -192,32 +237,28 @@ def from_kafka_records(records: DataFrame,
             F.coalesce(F.col("_env.source.partition_id"),
                        F.col("_kpartition")).alias("partition_id"),
         ).alias("source"),
-        # offset is a total order only WITHIN a partition — two partitions
-        # both have an offset 7, and a bare-offset fallback would collide
-        # delivery_seq (and the event_id derived from it) across them.
-        # offset * stride + partition is unique (for partitions < stride)
-        # and per-partition monotone; offset-major order keeps
-        # delivery_seq roughly time-ordered across partitions filling at
-        # similar rates, so watermark batches drain all partitions
-        # together instead of one at a time. Partition coalesces to 0: a
-        # partially-populated archive row with a real offset is still
-        # ingestable, not quarantine fodder.
         (F.col("_env.delivery_seq") if seq_fallback == "quarantine"
-         else F.coalesce(
-             F.col("_env.delivery_seq"),
-             F.col("_koffset") * F.lit(int(partition_stride))
-             + F.coalesce(F.col("_kpartition").cast("long"), F.lit(0)),
-         )).alias("delivery_seq"),
+         else F.coalesce(F.col("_env.delivery_seq"), backfill)
+         ).alias("delivery_seq"),
         # unix_millis, not unix_timestamp*1000: the latter truncates to
         # whole seconds and ts_ms is a millisecond-precision contract
         F.coalesce(F.col("_env.ts_ms"),
                    F.unix_millis(F.col("_kts"))).alias("ts_ms"),
+        # original value bytes ride along so a valid-but-seq-less row
+        # can quarantine with its TRUE source line (read_jsonl_wal
+        # parity) — from_debezium passes _raw through untouched
+        *([F.col("_raw")] if keep_malformed else []),
     )
     wal = from_debezium(envs)
     if not keep_malformed:
-        return wal
+        # read_jsonl_wal parity: a row without a delivery_seq can never
+        # enter a watermark batch — returning it here would make it
+        # silently vanish downstream. The keep_malformed path keeps it
+        # for quarantine_malformed_source to park.
+        return wal.filter(F.col("delivery_seq").isNotNull())
     bad = parsed.filter(~ok).select(
-        *[F.lit(None).cast(f.dataType).alias(f.name)
+        *[F.col("_raw") if f.name == "_raw"
+          else F.lit(None).cast(f.dataType).alias(f.name)
           for f in wal.schema.fields],
         F.coalesce(F.col("_raw"),
                    F.lit("<null kafka record value>")).alias("_malformed"),

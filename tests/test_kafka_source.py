@@ -140,17 +140,37 @@ def test_kafka_seq_fallback_quarantine_for_mixed_streams(spark):
         from_kafka_records(recs, seq_fallback="nonsense")
 
 
-def test_kafka_null_partition_still_ingests(spark):
-    """A partially-populated archive row (all record fields are nullable)
-    with a real offset but NULL partition backfills with partition 0 —
-    ingested, not silently nulled into quarantine."""
+def test_kafka_unbackfillable_partitions_park_not_collide(spark):
+    """The backfill never invents identity: a seq-less record with a
+    NULL partition (partially-populated archive row) or a partition
+    >= stride (stride misconfigured below the topic's partition count)
+    gets NO guessed seq — guessing either could silently share a
+    delivery_seq/event_id with a REAL record (NULL->0 collides with true
+    partition 0 at the same offset; p=1500 at stride 1024 collides with
+    p=476 one offset later). Both park as missing_delivery_seq with
+    their ORIGINAL envelope bytes; a real sub-stride partition at the
+    same offset still ingests."""
     ts = datetime.datetime(2024, 1, 2, 3, 4, 5)
-    rows = [(None, _env("c", "nopart", 1, "x", with_seq=False).encode(),
-             "topic-a", None, 50, ts)]
+    nopart = _env("c", "nopart", 1, "x", with_seq=False)
+    toobig = _env("c", "toobig", 2, "y", with_seq=False)
+    rows = [
+        (None, nopart.encode(), "topic-a", None, 50, ts),
+        (None, toobig.encode(), "topic-a", 9, 50, ts),   # stride below 9
+        (None, _env("c", "ok", 3, "z", with_seq=False).encode(),
+         "topic-a", 0, 50, ts),
+    ]
     rec = spark.createDataFrame(rows, kafka_record_schema())
-    wal = from_kafka_records(rec).collect()
-    assert len(wal) == 1
-    assert wal[0]["delivery_seq"] == 50 * 1024
+    wal = from_kafka_records(rec, keep_malformed=True, partition_stride=8)
+    live = wal.filter(F.col("delivery_seq").isNotNull()).collect()
+    assert [(r["repo"], r["delivery_seq"]) for r in live] == [("ok", 400)]
+    parked = wal.filter(F.col("delivery_seq").isNull()
+                        & F.col("_malformed").isNull()).collect()
+    assert {r["repo"] for r in parked} == {"nopart", "toobig"}
+    # the quarantine payload is the TRUE envelope bytes, not a re-render
+    assert {r["_raw"] for r in parked} == {nopart, toobig}
+    # default (non-keep) path simply filters them — the pipeline's
+    # quarantine_malformed_source is what parks them
+    assert from_kafka_records(rec, partition_stride=8).count() == 1
 
 
 def test_kafka_poison_routes_to_malformed_not_silence(spark):

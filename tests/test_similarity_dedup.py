@@ -301,6 +301,19 @@ def test_simhash_radius_target_widens_signature(spark):
                  approx_n=len(docs)).collect()}
     assert same5 == fixed5
 
+    # when the 60-bit accumulator cap BINDS, the caller's width is kept,
+    # never rounded down to n_bands*(60//n_bands): bits=60/n_bands=7
+    # with need past the cap (approx_n hint 10k, target 1 -> need 14 >
+    # 60//7 = 8) must stay 60 bits, so the output equals the fixed run
+    fixed60 = {(r["id_a"], r["id_b"], r["hamming"])
+               for r in simhash_radius_pairs(df, radius=3, n_bands=7,
+                                             bits=60).collect()}
+    capped = {(r["id_a"], r["id_b"], r["hamming"])
+              for r in simhash_radius_pairs(
+                  df, radius=3, n_bands=7, bits=60, target_bucket_rows=1,
+                  approx_n=10_000).collect()}
+    assert capped == fixed60
+
 
 def test_knn_join_target_bucket_rows_passthrough(spark):
     """knn_join(target_bucket_rows=) defers to lsh_band_pairs' auto-sizing;
