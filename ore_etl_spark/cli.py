@@ -135,6 +135,12 @@ def cmd_rollback(args):
                       "rolled_back_to": args.to_version}))
 
 
+def cmd_history(args):
+    spark = _spark(args)
+    tbl = _table(spark, args, create=False)
+    print(json.dumps(tbl.history()))
+
+
 def cmd_tag(args):
     spark = _spark(args)
     tbl = _table(spark, args, create=False)
@@ -278,6 +284,11 @@ def main(argv=None):
     ro.add_argument("--buckets", type=int, default=64)
     ro.add_argument("--to-version", type=int, required=True)
     ro.set_defaults(fn=cmd_rollback)
+
+    hi = sub.add_parser("history")
+    hi.add_argument("--table", required=True)
+    hi.add_argument("--buckets", type=int, default=64)
+    hi.set_defaults(fn=cmd_history)
 
     tg = sub.add_parser("tag")
     tg.add_argument("--table", required=True)

@@ -69,6 +69,7 @@ import contextlib
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -240,6 +241,7 @@ class MergeTable:
             # read_where() without any extra Spark job.
             "stats_cols": stats_cols if stats_cols is not None else list(version_cols),
             "refs": [],
+            "committed_at": time.time(),
         }
         t = cls(spark, root)
         t._write_snapshot(snap)
@@ -304,6 +306,9 @@ class MergeTable:
             "batch_id": batch_id,
             "applied_batch_ids": applied,
             "n_batches_total": snap.get("n_batches_total", 0) + 1,
+            # commit wall-clock, for TIMESTAMP AS OF time travel and the
+            # history() log — metadata only, never data-affecting
+            "committed_at": time.time(),
         }
 
     # ----------------------------------------------------------------- read
@@ -363,9 +368,70 @@ class MergeTable:
         with open(path) as f:
             return json.load(f)
 
-    def read(self, with_deleted: bool = False, version: int | None = None) -> DataFrame:
+    def _stable_snapshots(self) -> list[dict]:
+        """Every snapshot still on disk that is COMMITTED — version <=
+        CURRENT (a CAS writer creates its vN.json before swapping
+        CURRENT, so newer files may be in-flight) and parseable (an
+        in-flight file can also be mid-write; skipping it is correct
+        because it cannot be committed yet). Driver-side metadata walk,
+        bounded by expire_snapshots' retention."""
+        cur = self.version
+        sdir = os.path.join(self.root, "snapshots")
+        out = []
+        for name in sorted(os.listdir(sdir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(sdir, name)) as f:
+                    s = json.load(f)
+            except (ValueError, OSError):
+                continue
+            if s.get("version", cur + 1) <= cur:
+                out.append(s)
+        out.sort(key=lambda s: s["version"])
+        return out
+
+    def version_at(self, as_of_ts: float) -> int:
+        """Newest committed version whose commit wall-clock is <=
+        ``as_of_ts`` (the resolution step of Iceberg's TIMESTAMP AS OF).
+        Only snapshots still on disk qualify — ``expire_snapshots``
+        bounds how far back a timestamp can reach, exactly like
+        Iceberg's retention."""
+        best = None
+        for s in self._stable_snapshots():
+            ts = s.get("committed_at")
+            if ts is not None and ts <= as_of_ts:
+                best = s["version"]  # sorted ascending: last wins
+        if best is None:
+            raise ValueError(
+                f"no snapshot committed at or before {as_of_ts} "
+                "(expired, or the table is newer than that timestamp)")
+        return best
+
+    def history(self) -> list[dict]:
+        """The commit log from the snapshots still on disk, oldest
+        first (Iceberg ``.history`` metadata-table parity): version,
+        parent, batch_id, commit wall-clock, and the ref count — enough
+        to pick a rollback/time-travel target without opening snapshot
+        JSON by hand."""
+        return [{
+            "version": s["version"],
+            "parent": s.get("parent"),
+            "batch_id": s.get("batch_id"),
+            "committed_at": s.get("committed_at"),
+            "n_refs": len(s.get("refs", [])),
+        } for s in self._stable_snapshots()]
+
+    def read(self, with_deleted: bool = False, version: int | None = None,
+             as_of_ts: float | None = None) -> DataFrame:
         """Read the current snapshot, or time-travel to ``version``
-        (snapshots are immutable; Iceberg VERSION AS OF parity)."""
+        (Iceberg VERSION AS OF parity) or to the newest version
+        committed at or before wall-clock ``as_of_ts`` (TIMESTAMP AS OF
+        parity); snapshots are immutable, so both reads are stable."""
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_ts, not both")
+            version = self.version_at(as_of_ts)
         snap = self.snapshot() if version is None else self.snapshot_at(version)
         raw = self._read_refs(snap, snap["refs"], with_deleted=True)
         return self._resolve(snap, raw, with_deleted)
@@ -1545,6 +1611,10 @@ class MergeTable:
                 "applied_batch_ids":
                     (target["applied_batch_ids"] + [batch_id])[-window:],
                 "n_batches_total": cur.get("n_batches_total", 0) + 1,
+                # the rollback COMMIT's wall-clock, not the target's
+                # (spread from **target above): TIMESTAMP AS OF before
+                # the rollback still sees the undone state
+                "committed_at": time.time(),
             }
             self._write_snapshot(new_snap)
         self._append_lineage([{

@@ -519,3 +519,54 @@ def test_vacuum_grace_period_protects_inflight_attempts(spark, tmpdir_path):
     assert stats["removed_dirs"] == 1 and not os.path.exists(bdir)
     # committed data untouched throughout
     assert state(tbl) == {("a", "x"): (1, "v1")}
+
+
+def test_timestamp_time_travel_and_history(spark, tmpdir_path):
+    """TIMESTAMP AS OF parity: every commit path stamps committed_at, so
+    read(as_of_ts=) resolves to the newest version committed at or
+    before the timestamp — including across a rollback, whose commit
+    gets its OWN wall-clock (an as-of just before the rollback still
+    sees the undone state). history() lists the surviving commit log
+    oldest-first."""
+    tbl = make_table(spark, tmpdir_path)
+    tbl.merge(df(spark, [("a", "x", 1, 0, "v1", "INSERT")]), "b1")
+    tbl.merge(df(spark, [("a", "x", 2, 0, "v2", "UPDATE")]), "b2")
+
+    h = tbl.history()
+    assert [r["version"] for r in h] == [0, 1, 2]
+    assert [r["batch_id"] for r in h] == [None, "b1", "b2"]
+    stamps = [r["committed_at"] for r in h]
+    assert all(isinstance(t, float) for t in stamps)
+    assert stamps == sorted(stamps)
+    t1, t2 = stamps[1], stamps[2]
+    assert t1 < t2  # Spark commits are well past clock resolution
+
+    # as-of between the two commits -> v1's state; as-of now -> current
+    mid = t1 + (t2 - t1) / 2
+    assert tbl.version_at(mid) == 1
+    assert {r["content"] for r in tbl.read(as_of_ts=mid).collect()} == {"v1"}
+    assert tbl.version_at(t2) == 2
+    assert {r["content"] for r in tbl.read(as_of_ts=t2).collect()} == {"v2"}
+
+    # before the table existed -> explicit error; both selectors -> error
+    with pytest.raises(ValueError):
+        tbl.version_at(stamps[0] - 100.0)
+    with pytest.raises(ValueError):
+        tbl.read(version=1, as_of_ts=mid)
+
+    # rollback commits a NEW version with its own stamp: as-of after it
+    # sees v1's state, as-of just before it still sees v2's
+    tbl.rollback(1)
+    h2 = tbl.history()
+    assert [r["version"] for r in h2] == [0, 1, 2, 3]
+    t3 = h2[3]["committed_at"]
+    assert t3 > t2
+    assert tbl.version_at(t3) == 3
+    assert {r["content"] for r in tbl.read(as_of_ts=t3).collect()} == {"v1"}
+    assert tbl.version_at(t3 - (t3 - t2) / 2) == 2
+
+    # an in-flight (not-yet-CURRENT) or torn snapshot file is invisible
+    with open(os.path.join(tbl.root, "snapshots", "v9.json"), "w") as f:
+        f.write('{"version": 9, "committed_at"')  # mid-write torn JSON
+    assert [r["version"] for r in tbl.history()] == [0, 1, 2, 3]
+    assert tbl.version_at(t3 + 100.0) == 3
