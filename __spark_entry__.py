@@ -641,6 +641,37 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus assembly: pack documents (doc_id order) into training
+    shards of ~2000 tokens — shard = floor(preceding_tokens / budget),
+    a pure function of global order + token counts. The engine runs a
+    DISTRIBUTED prefix sum (domain-ranged local cumsums + a P-row
+    offset fold; no single-task global window — the plan shape is
+    pinned in tests/test_sampling.py); the oracle replays the same
+    definition as one SQL window, which is fine at sf0.01 and would be
+    the 100 TB bottleneck the engine avoids."""
+    from ore_etl_spark.functions.sampling import pack_token_shards
+    from ore_etl_spark.functions.text import token_count
+
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+    return pack_token_shards(toks, budget=2000, num_partitions=8).select(
+        "doc_id", "n_tokens", "shard")
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment via a portable
+    md5-derived draw (reproducible outside Spark — the DuckDB oracle
+    recomputes the exact same md5 arithmetic). Checked via
+    scripts/check_oracles.py's EXTRA_ORACLES (the 50-slot driver gate
+    is full; rotation policy in COVERAGE.md)."""
+    from ore_etl_spark.functions.sampling import hash_split
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by normalized-content digest (hash groupBy)."""
     from ore_etl_spark.functions.dedup import exact_dup_groups
@@ -995,7 +1026,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_daily": q_agg_daily,
     "agg_global_stats": q_agg_global_stats,
     "agg_histogram": q_agg_histogram,
-    "agg_multi_count": q_agg_multi_count,
     "win_running_total": q_win_running_total,
     "win_lag_downtime": q_win_lag_downtime,
     "win_sessionize": q_win_sessionize,
@@ -1021,6 +1051,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_join": q_sim_knn_join,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_filter_pushdown": q_multimodal_filter_pushdown,
+    # round 5 rotation (policy in COVERAGE.md): agg_multi_count (A10,
+    # a trivial one-pass predicate-count subsumed by the other aggs)
+    # retired to EXTRA_ORACLES + pytest to seat the corpus-assembly op
+    "pack_token_shards": q_pack_token_shards,
 }
 
 
@@ -1686,14 +1720,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT (floor(value / 50) * 50)::BIGINT AS bucket, count(*) AS n
             FROM events GROUP BY 1
         """,
-        "agg_multi_count": """
-            SELECT
-              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
-              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
-              sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
-              sum(CASE WHEN value > 500 THEN 1 ELSE 0 END)::BIGINT AS n_high_value,
-              sum(CASE WHEN regexp_matches(props, '"k": 9') THEN 1 ELSE 0 END)::BIGINT AS n_k9
-            FROM events
+        "pack_token_shards": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> ''))::BIGINT AS n_tokens
+              FROM documents)
+            SELECT doc_id, n_tokens,
+                   ((sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) // 2000)::BIGINT AS shard
+            FROM t
         """,
         "win_running_total": """
             SELECT event_id, user_id,

@@ -70,6 +70,8 @@ ANALYTICS_QUERIES = [
     "sim_knn_join",
     # round-4: JVM-codegen text features + simhash radius (band-guarded)
     "text_features", "dedup_simhash_radius",
+    # round-5: corpus assembly (distributed prefix-sum shard packing)
+    "pack_token_shards",
 ]
 
 

@@ -62,10 +62,39 @@ EXTRA_ORACLES = {
                round(round(value * 1e9)::BIGINT / 1e9, 6) AS sol_roundtrip
         FROM events
     """,
+    # round-5 rotation: A10 retired from the gate for pack_token_shards
+    "agg_multi_count": """
+        SELECT
+          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+          sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+          sum(CASE WHEN value > 500 THEN 1 ELSE 0 END)::BIGINT AS n_high_value,
+          sum(CASE WHEN regexp_matches(props, '"k": 9') THEN 1 ELSE 0 END)::BIGINT AS n_k9
+        FROM events
+    """,
+    # md5-portable split draw: the oracle recomputes the EXACT Spark
+    # arithmetic (15 hex chars of md5('seed:id') mod 1e6 vs cumulative
+    # weight thresholds) — engine-vs-independent-reimplementation
+    "hash_split": """
+        WITH d AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 15))
+                   ::UBIGINT % 1000000 AS draw
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN draw < 800000 THEN 'train'
+                    WHEN draw < 900000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM d
+    """,
 }
 EXTRA_QUERIES = {
     "decode_unit_conversion": lambda spark, sf:
         entry_mod.q_decode_unit_conversion(spark, sf),
+    "agg_multi_count": lambda spark, sf:
+        entry_mod.q_agg_multi_count(spark, sf),
+    "hash_split": lambda spark, sf:
+        entry_mod.q_hash_split(spark, sf),
 }
 
 

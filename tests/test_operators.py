@@ -155,3 +155,25 @@ def test_cosine_topk_and_lsh_ann(spark):
     assert [r["vec_id"] for r in top] == [0, 100]
     ann = lsh_bucket_ann(df, q, k=2, n_planes=2).collect()
     assert 0 in [r["vec_id"] for r in ann]  # same bucket as itself
+
+
+def test_agg_multi_count_pinned_vs_pandas(spark):
+    """A10 was rotated out of the 50-slot gate in round 5 (policy in
+    COVERAGE.md) to seat pack_token_shards. Its engine-vs-DuckDB check
+    lives on in scripts/check_oracles.py's EXTRA_ORACLES; this pin adds
+    an in-suite independent recompute so `pytest` alone still proves it
+    (a pytest that only checked Spark self-consistency would let a
+    shared predicate bug through — round-4 ADVICE on D12)."""
+    import pandas as pd
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    row = m.q_agg_multi_count(spark, sf).collect()[0]
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    assert row["n_click"] == int((ev.event_type == "click").sum())
+    assert row["n_purchase"] == int((ev.event_type == "purchase").sum())
+    assert row["n_error"] == int((ev.event_type == "error").sum())
+    assert row["n_high_value"] == int((ev.value > 500).sum())
+    assert row["n_k9"] == int(ev.props.str.contains('"k": 9',
+                                                    regex=False).sum())
