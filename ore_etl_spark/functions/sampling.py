@@ -65,6 +65,11 @@ def pack_token_shards(
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
+    clash = {"_pid", "_tok", "_cum", "_offset", "_start"} & set(df.columns)
+    if clash:
+        # the working columns would silently clobber-and-drop caller
+        # data — an explicit error beats silent loss
+        raise ValueError(f"input columns collide with internals: {clash}")
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     bounds = df.agg(F.min(order_col).alias("lo"),
@@ -82,9 +87,14 @@ def pack_token_shards(
            .withColumn("_cum", F.sum("_tok").over(local)))
     # P-row driver fold: totals per range -> exclusive prefix offsets.
     # _pid is a pure function of order_col, so this second evaluation of
-    # the plan CANNOT disagree with the output evaluation below.
+    # the plan CANNOT disagree with the output evaluation below. Plain
+    # sum(_tok), NOT max(_cum): the totals job then needs no sort or
+    # running-sum window (one cumsum pass, not two), and it stays
+    # correct even for adversarial negative token counts where the
+    # last row's cumsum is not the range total.
     totals = {r["_pid"]: r["t"] for r in
-              d.groupBy("_pid").agg(F.max("_cum").alias("t")).collect()}
+              df.select(pid.alias("_pid"), tok.alias("_tok"))
+                .groupBy("_pid").agg(F.sum("_tok").alias("t")).collect()}
     offsets, acc = [], 0
     for p in sorted(totals):
         offsets.append((p, acc))

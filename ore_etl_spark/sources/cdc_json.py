@@ -154,10 +154,12 @@ def from_debezium(envelopes: DataFrame) -> DataFrame:
         f.name for f in after_t.fields if f.name not in known
     ) if isinstance(after_t, T.StructType) else []
     # an upstream column named like a fixed WAL output column (ts, op,
-    # size_bytes... all common DB names) must not produce a duplicate
-    # column — alias the passthrough deterministically instead of
-    # crashing downstream with an ambiguous reference
-    out_cols = {n for n, _ in _WAL_FIELDS}
+    # size_bytes... all common DB names) — or like a reader-reserved
+    # column (_raw / _malformed, which the keep_malformed paths emit at
+    # top level) — must not produce a duplicate column: alias the
+    # passthrough deterministically instead of crashing downstream with
+    # an ambiguous reference
+    out_cols = {n for n, _ in _WAL_FIELDS} | {"_raw", "_malformed"}
     extra_cols = [
         img[n].alias(f"src_{n}" if n in out_cols else n) for n in extras
     ]

@@ -307,8 +307,14 @@ class MergeTable:
             "applied_batch_ids": applied,
             "n_batches_total": snap.get("n_batches_total", 0) + 1,
             # commit wall-clock, for TIMESTAMP AS OF time travel and the
-            # history() log — metadata only, never data-affecting
-            "committed_at": time.time(),
+            # history() log — metadata only, never data-affecting.
+            # Clamped monotone against the parent: an NTP step-back (or
+            # a skew-clocked second writer host) must not invert history
+            # — version_at keeps the LAST qualifying version, so an
+            # out-of-order stamp would resolve a timestamp to data that
+            # did not exist at that wall-clock.
+            "committed_at": max(time.time(),
+                                snap.get("committed_at") or 0.0),
         }
 
     # ----------------------------------------------------------------- read
@@ -381,12 +387,20 @@ class MergeTable:
         for name in sorted(os.listdir(sdir)):
             if not (name.startswith("v") and name.endswith(".json")):
                 continue
+            path = os.path.join(sdir, name)
             try:
-                with open(os.path.join(sdir, name)) as f:
+                with open(path) as f:
                     s = json.load(f)
             except (ValueError, OSError):
                 continue
             if s.get("version", cur + 1) <= cur:
+                # pre-upgrade snapshots carry no committed_at: fall back
+                # to the snapshot file's mtime (written once at commit)
+                # so TIMESTAMP AS OF degrades gracefully on old tables
+                # instead of refusing to resolve readable versions
+                if s.get("committed_at") is None:
+                    with contextlib.suppress(OSError):
+                        s["committed_at"] = os.path.getmtime(path)
                 out.append(s)
         out.sort(key=lambda s: s["version"])
         return out
@@ -396,7 +410,10 @@ class MergeTable:
         ``as_of_ts`` (the resolution step of Iceberg's TIMESTAMP AS OF).
         Only snapshots still on disk qualify — ``expire_snapshots``
         bounds how far back a timestamp can reach, exactly like
-        Iceberg's retention."""
+        Iceberg's retention. Stamps are clamped monotone at commit time
+        (clock step-backs cannot invert history), and snapshots from
+        before the ``committed_at`` field existed resolve by file mtime
+        (``_stable_snapshots``) rather than being unreachable."""
         best = None
         for s in self._stable_snapshots():
             ts = s.get("committed_at")
@@ -1613,8 +1630,10 @@ class MergeTable:
                 "n_batches_total": cur.get("n_batches_total", 0) + 1,
                 # the rollback COMMIT's wall-clock, not the target's
                 # (spread from **target above): TIMESTAMP AS OF before
-                # the rollback still sees the undone state
-                "committed_at": time.time(),
+                # the rollback still sees the undone state. Monotone
+                # clamp, same as _commit_fields.
+                "committed_at": max(time.time(),
+                                    cur.get("committed_at") or 0.0),
             }
             self._write_snapshot(new_snap)
         self._append_lineage([{

@@ -298,3 +298,26 @@ def test_kafka_stream_standin_matches_archive(spark, tmpdir_path):
     batch_raws = {r["_malformed"] for r in
                   batch.filter(F.col("_malformed").isNotNull()).collect()}
     assert seen["malformed"] == batch_raws and len(batch_raws) == len(POISON)
+
+
+def test_kafka_extra_after_field_named_raw_does_not_collide(spark):
+    """Wire-path schema evolution can ship ANY after-image field name —
+    including one named like a reader-reserved column. An extra after
+    field '_raw' must alias to src__raw instead of colliding with the
+    keep_malformed reader's own _raw (which would raise
+    AMBIGUOUS_REFERENCE in the bad-row builder and kill the ingest)."""
+    from pyspark.sql import types as T
+
+    from ore_etl_spark.sources.kafka import debezium_envelope_schema
+
+    schema = debezium_envelope_schema([T.StructField("_raw", T.StringType())])
+    env = json.loads(_env("c", "evo", 1, "x"))
+    env["after"]["_raw"] = "upstream-raw-value"
+    recs = _records(spark, [(json.dumps(env).encode(), 0, 500)])
+    wal = from_kafka_records(recs, envelope_schema=schema,
+                             keep_malformed=True)
+    rows = wal.filter(F.col("delivery_seq").isNotNull()).collect()
+    assert len(rows) == 1
+    assert rows[0]["src__raw"] == "upstream-raw-value"
+    # the reader's own _raw still carries the record's original bytes
+    assert '"evo"' in rows[0]["_raw"]

@@ -70,7 +70,7 @@ def test_pack_token_shards_plan_has_no_global_window(spark):
     out = pack_token_shards(df, 500, num_partitions=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan  # offsets join must broadcast
 
 
 def test_pack_token_shards_empty_input(spark):
@@ -110,3 +110,9 @@ def test_hash_split_deterministic_disjoint_and_proportional(spark):
         hash_split(df, {})
     with pytest.raises(ValueError):
         hash_split(df, {"a": -1.0, "b": 2.0})
+
+
+def test_pack_token_shards_rejects_internal_column_clash(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "doc_id long, n_tokens long, _cum long")
+    with pytest.raises(ValueError, match="_cum"):
+        pack_token_shards(df, 10)

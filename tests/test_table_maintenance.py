@@ -570,3 +570,26 @@ def test_timestamp_time_travel_and_history(spark, tmpdir_path):
         f.write('{"version": 9, "committed_at"')  # mid-write torn JSON
     assert [r["version"] for r in tbl.history()] == [0, 1, 2, 3]
     assert tbl.version_at(t3 + 100.0) == 3
+
+
+def test_timestamp_time_travel_pre_upgrade_snapshots(spark, tmpdir_path):
+    """A table whose snapshots predate the committed_at field must not
+    make TIMESTAMP AS OF unusable: resolution falls back to the snapshot
+    file's mtime (written once at commit), so every readable version
+    stays reachable by timestamp."""
+    import time as _t
+
+    tbl = make_table(spark, tmpdir_path)
+    tbl.merge(df(spark, [("a", "x", 1, 0, "v1", "INSERT")]), "b1")
+    # simulate pre-upgrade metadata: strip the stamp from v0 and v1
+    for v in (0, 1):
+        p = os.path.join(tbl.root, "snapshots", f"v{v}.json")
+        s = json.load(open(p))
+        s.pop("committed_at", None)
+        with open(p, "w") as f:
+            json.dump(s, f)
+    assert all(r["committed_at"] is not None for r in tbl.history())
+    assert tbl.version_at(_t.time() + 1) == 1
+    assert state(tbl) == {("a", "x"): (1, "v1")}
+    assert {r["content"] for r in
+            tbl.read(as_of_ts=_t.time() + 1).collect()} == {"v1"}
