@@ -133,6 +133,11 @@ def hash_split(
     order fixes the interval layout, so pass them in a canonical order.
     The draw takes 15 hex chars (60 bits) of the digest — bias from the
     ``% denom`` fold is < denom / 2^60, immaterial for split ratios.
+
+    Leakage-safe grouping: pass a GROUP key as ``id_col`` (e.g. the
+    repo, domain, or cluster id from ``connected_components``) and every
+    row of a group lands in the same split — near-duplicate documents
+    can't straddle train and test, the usual contamination vector.
     """
     if not weights or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-empty and non-negative")
