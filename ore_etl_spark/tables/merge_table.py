@@ -439,23 +439,35 @@ class MergeTable:
             "n_refs": len(s.get("refs", [])),
         } for s in self._stable_snapshots()]
 
+    def _snap_for(self, version: int | None,
+                  as_of_ts: float | None) -> dict:
+        """Snapshot selector shared by every read surface: CURRENT, a
+        pinned ``version`` (VERSION AS OF), or the newest version
+        committed at or before ``as_of_ts`` (TIMESTAMP AS OF)."""
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_ts, not both")
+            version = self.version_at(as_of_ts)
+        return self.snapshot() if version is None else self.snapshot_at(version)
+
     def read(self, with_deleted: bool = False, version: int | None = None,
              as_of_ts: float | None = None) -> DataFrame:
         """Read the current snapshot, or time-travel to ``version``
         (Iceberg VERSION AS OF parity) or to the newest version
         committed at or before wall-clock ``as_of_ts`` (TIMESTAMP AS OF
         parity); snapshots are immutable, so both reads are stable."""
-        if as_of_ts is not None:
-            if version is not None:
-                raise ValueError("pass version OR as_of_ts, not both")
-            version = self.version_at(as_of_ts)
-        snap = self.snapshot() if version is None else self.snapshot_at(version)
+        snap = self._snap_for(version, as_of_ts)
         raw = self._read_refs(snap, snap["refs"], with_deleted=True)
         return self._resolve(snap, raw, with_deleted)
 
-    def read_buckets(self, bucket_ids: list[int], with_deleted: bool = False) -> DataFrame:
-        """Manifest-level partition pruning: scan only the named buckets."""
-        snap = self.snapshot()
+    def read_buckets(self, bucket_ids: list[int], with_deleted: bool = False,
+                     version: int | None = None,
+                     as_of_ts: float | None = None,
+                     snap: dict | None = None) -> DataFrame:
+        """Manifest-level partition pruning: scan only the named buckets
+        (time-travelable; ``snap`` lets an already-resolved caller like
+        ``lookup`` avoid resolving twice)."""
+        snap = snap or self._snap_for(version, as_of_ts)
         want = set(bucket_ids)
         refs = [r for r in snap["refs"] if r["bucket"] in want]
         raw = self._read_refs(snap, refs, with_deleted=True)
@@ -513,14 +525,19 @@ class MergeTable:
                     out.append({**r, "path": os.path.join(r["path"], fn)})
         return out
 
-    def read_where(self, col: str, lo=None, hi=None, with_deleted: bool = False) -> DataFrame:
+    def read_where(self, col: str, lo=None, hi=None,
+                   with_deleted: bool = False, version: int | None = None,
+                   as_of_ts: float | None = None) -> DataFrame:
         """Range read with manifest-level file skipping on `col` (must be in
         the table's ``stats_cols``). Refs whose footer bounds are disjoint
         from [lo, hi] are never opened, and inside multi-file buckets
         (sorted compaction) individual files are pruned too — on top of
         parquet row-group pushdown. The residual predicate is still applied
-        (bounds are necessary, not sufficient)."""
-        snap = self.snapshot()
+        (bounds are necessary, not sufficient). ``version``/``as_of_ts``
+        time-travel the pruned read (each snapshot carries its own refs
+        AND their bounds, so skipping is exact against the old state —
+        e.g. reproduce last night's shard read byte-for-byte)."""
+        snap = self._snap_for(version, as_of_ts)
         refs, _ = self.prune_refs(snap, col, lo, hi)
         refs = self._expand_file_refs(snap, refs, col, lo, hi)
         raw = self._read_refs(snap, refs, with_deleted=True)
@@ -531,13 +548,16 @@ class MergeTable:
             df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
-    def lookup(self, key_values: list[tuple], with_deleted: bool = False) -> DataFrame:
+    def lookup(self, key_values: list[tuple], with_deleted: bool = False,
+               version: int | None = None,
+               as_of_ts: float | None = None) -> DataFrame:
         """Bucket-pruned point read: hash each key to its bucket on the
         driver (same xxhash64 the writer used, evaluated via a 1-row Spark
         expression batch), scan ONLY those buckets' refs, and filter to the
         exact keys. A serving-style key lookup touches O(keys) buckets out
-        of thousands — never the table."""
-        snap = self.snapshot()
+        of thousands — never the table. ``version``/``as_of_ts``
+        time-travel the point read ("what did this key hold at 2am")."""
+        snap = self._snap_for(version, as_of_ts)
         key_cols = snap["key_cols"]
         # probe schema MUST follow key_cols order — createDataFrame binds
         # tuples by position, and callers pass key tuples in key_cols order
@@ -549,7 +569,10 @@ class MergeTable:
             r["_b"] for r in
             probe.withColumn("_b", self.bucket_expr(snap)).collect()
         })
-        df = self.read_buckets(buckets, with_deleted=with_deleted)
+        # the resolved snapshot flows through: bucket spec, refs, AND the
+        # read itself must all come from the SAME (possibly time-traveled)
+        # state — reading CURRENT here would leak post-as-of data
+        df = self.read_buckets(buckets, with_deleted=with_deleted, snap=snap)
         cond = None
         for kv in key_values:
             one = None

@@ -571,6 +571,18 @@ def test_timestamp_time_travel_and_history(spark, tmpdir_path):
     assert [r["version"] for r in tbl.history()] == [0, 1, 2, 3]
     assert tbl.version_at(t3 + 100.0) == 3
 
+    # every read surface time-travels through the same resolver: the
+    # pruned range read and the bucket-pruned point read both see v2's
+    # state at an as-of between the b2 commit and the rollback
+    between = t2 + (t3 - t2) / 2
+    assert {r["content"] for r in
+            tbl.read_where("commit_seq", lo=1, as_of_ts=between)
+            .collect()} == {"v2"}
+    assert {r["content"] for r in
+            tbl.lookup([("a", "x")], as_of_ts=between).collect()} == {"v2"}
+    assert {r["content"] for r in
+            tbl.lookup([("a", "x")], version=1).collect()} == {"v1"}
+
 
 def test_timestamp_time_travel_pre_upgrade_snapshots(spark, tmpdir_path):
     """A table whose snapshots predate the committed_at field must not
