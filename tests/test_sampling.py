@@ -116,3 +116,51 @@ def test_pack_token_shards_rejects_internal_column_clash(spark):
     df = spark.createDataFrame([(1, 2, 3)], "doc_id long, n_tokens long, _cum long")
     with pytest.raises(ValueError, match="_cum"):
         pack_token_shards(df, 10)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=-10_000, max_value=10_000),
+                  st.integers(min_value=0, max_value=500)),
+        min_size=1, max_size=60, unique_by=lambda r: r[0]),
+    budget=st.integers(min_value=1, max_value=2000),
+    parts=st.sampled_from([1, 2, 7, 32]),
+)
+def test_pack_token_shards_property(spark, rows, budget, parts):
+    """For ANY unique-id row set (sparse/dense/negative ids), ANY budget,
+    ANY parallelism: the distributed prefix sum equals the sequential
+    definition exactly."""
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {r["doc_id"]: r["shard"] for r in
+           pack_token_shards(df, budget, num_partitions=parts).collect()}
+    assert got == _brute_pack(rows, budget)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9),
+                 min_size=1, max_size=50, unique=True),
+    seed=st.integers(min_value=0, max_value=10**6),
+    names=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=4),
+                   min_size=1, max_size=4, unique=True),
+)
+def test_hash_split_property(spark, ids, seed, names):
+    """For ANY id set, seed, and weight layout: exhaustive + disjoint
+    assignment, every label drawn from the weights, and exact stability
+    under repartitioning (the md5 draw is a pure row function)."""
+    w = {n: float(i + 1) for i, n in enumerate(names)}
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    one = {r["doc_id"]: r["split"]
+           for r in hash_split(df, w, seed=seed).collect()}
+    assert set(one) == set(ids)
+    assert set(one.values()) <= set(names)
+    two = {r["doc_id"]: r["split"]
+           for r in hash_split(df.repartition(5), w, seed=seed).collect()}
+    assert one == two
