@@ -672,6 +672,43 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document chunking: 32-token training windows with 8 tokens
+    of overlapping context (tokenize -> sequence -> one explode, pure
+    JVM, no shuffle). 32/8 is sized so the sf0.01 corpus (10-99 tokens
+    per doc) exercises BOTH paths — short docs stay single-chunk, long
+    ones split into up to 4 overlapping windows. EXTRA_ORACLES-checked:
+    DuckDB reproduces the integer chunk boundaries and the joined chunk
+    text byte-for-byte."""
+    from ore_etl_spark.functions.text import chunk_documents
+
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    return chunk_documents(d, max_tokens=32, overlap=8)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit. The corpus is synthetic, so each document is
+    first augmented with DETERMINISTIC pii-shaped spans (an email, an
+    IPv4, a card-PAN digit run derived from doc_id) using the same
+    string expression on both engines — the oracle then proves the
+    redaction itself, not just a no-op pass over clean text.
+    EXTRA_ORACLES-checked (the 50-slot gate is full; policy in
+    COVERAGE.md)."""
+    from ore_etl_spark.functions.text import pii_redact
+
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 card 4111111111111111"),
+        ).alias("text"))
+    return pii_redact(aug).select("doc_id", "clean_text", "n_email",
+                                  "n_ipv4", "n_longnum")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by normalized-content digest (hash groupBy)."""
     from ore_etl_spark.functions.dedup import exact_dup_groups

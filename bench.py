@@ -71,7 +71,8 @@ ANALYTICS_QUERIES = [
     # round-4: JVM-codegen text features + simhash radius (band-guarded)
     "text_features", "dedup_simhash_radius",
     # round-5: corpus assembly (distributed prefix-sum shard packing)
-    "pack_token_shards",
+    # + long-doc chunking (tokenize -> one explode, ~2.4x row fanout)
+    "pack_token_shards", "chunk_documents",
 ]
 
 
@@ -146,11 +147,21 @@ _bench_dedup_simhash_radius.prepare = (
     lambda spark, sf_dir: _corpus_n(spark, sf_dir, "documents"))
 
 
+def _bench_chunk_documents(spark, sf_dir: str):
+    """EXTRA_ORACLES query (outside the 50-slot driver gate, so absent
+    from queries()) — still bench-timed via the override map."""
+    import __spark_entry__ as entry_mod
+
+    return entry_mod.q_chunk_documents(spark, sf_dir)
+
+
 # name -> callable: bench-only variants where the correctness-gated
-# queries() entry deliberately runs a small-scale-exact configuration
+# queries() entry deliberately runs a small-scale-exact configuration,
+# plus EXTRA_ORACLES queries worth timing that hold no gate slot
 BENCH_QUERY_OVERRIDES = {
     "sim_knn_join": _bench_sim_knn_join,
     "dedup_simhash_radius": _bench_dedup_simhash_radius,
+    "chunk_documents": _bench_chunk_documents,
 }
 
 

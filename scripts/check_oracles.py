@@ -72,6 +72,52 @@ EXTRA_ORACLES = {
           sum(CASE WHEN regexp_matches(props, '"k": 9') THEN 1 ELSE 0 END)::BIGINT AS n_k9
         FROM events
     """,
+    # integer chunk boundaries reproduced exactly: chunk i of stride 24
+    # covers tokens [i*24+1, i*24+32] (1-based list slice), one chunk
+    # when n <= 32, else 1 + ceil((n-32)/24)
+    "chunk_documents": """
+        WITH t AS (
+          SELECT doc_id,
+                 coalesce(list_filter(string_split_regex(text, '\\s+'),
+                          x -> x <> ''), []) AS tk
+          FROM documents),
+        c AS (
+          SELECT doc_id, tk,
+                 CASE WHEN len(tk) <= 32 THEN 1
+                      ELSE 1 + (len(tk) - 32 + 23) // 24 END AS nc
+          FROM t),
+        e AS (
+          SELECT doc_id, tk,
+                 unnest(generate_series(0, nc - 1)) AS chunk_id
+          FROM c)
+        SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+               array_to_string(tk[(chunk_id*24 + 1):(chunk_id*24 + 32)],
+                               ' ') AS chunk_text,
+               len(tk[(chunk_id*24 + 1):(chunk_id*24 + 32)])::BIGINT
+                 AS n_tokens
+        FROM e
+    """,
+    # identical pattern strings (PII_PATTERNS) and replacement order on
+    # both engines; the pii spans are synthesized deterministically from
+    # doc_id so the oracle proves the redaction, not a no-op
+    "pii_redact": """
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id::VARCHAR
+                      || '@example.com from 10.0.'
+                      || (doc_id % 256)::VARCHAR
+                      || '.7 card 4111111111111111' AS text
+          FROM documents)
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '{email}', '<EMAIL>', 'g'),
+                 '{ipv4}', '<IPV4>', 'g'),
+                 '{longnum}', '<LONGNUM>', 'g') AS clean_text,
+               len(regexp_extract_all(text, '{email}'))::INT AS n_email,
+               len(regexp_extract_all(text, '{ipv4}'))::INT AS n_ipv4,
+               len(regexp_extract_all(text, '{longnum}'))::INT AS n_longnum
+        FROM aug
+    """,
     # md5-portable split draw: the oracle recomputes the EXACT Spark
     # arithmetic (15 hex chars of md5('seed:id') mod 1e6 vs cumulative
     # weight thresholds) — engine-vs-independent-reimplementation
@@ -88,6 +134,16 @@ EXTRA_ORACLES = {
         FROM d
     """,
 }
+# splice the VERBATIM shared patterns into the pii oracle (plain
+# .replace, not .format — the regexes themselves contain {m,n} braces;
+# DuckDB single-quoted strings keep backslashes literal, so the raw
+# Java-regex string is also the RE2 string)
+from ore_etl_spark.functions.text import PII_PATTERNS  # noqa: E402
+
+for _k, _v in PII_PATTERNS.items():
+    EXTRA_ORACLES["pii_redact"] = EXTRA_ORACLES["pii_redact"].replace(
+        "{" + _k + "}", _v)
+
 EXTRA_QUERIES = {
     "decode_unit_conversion": lambda spark, sf:
         entry_mod.q_decode_unit_conversion(spark, sf),
@@ -95,6 +151,10 @@ EXTRA_QUERIES = {
         entry_mod.q_agg_multi_count(spark, sf),
     "hash_split": lambda spark, sf:
         entry_mod.q_hash_split(spark, sf),
+    "chunk_documents": lambda spark, sf:
+        entry_mod.q_chunk_documents(spark, sf),
+    "pii_redact": lambda spark, sf:
+        entry_mod.q_pii_redact(spark, sf),
 }
 
 

@@ -177,3 +177,80 @@ def test_agg_multi_count_pinned_vs_pandas(spark):
     assert row["n_high_value"] == int((ev.value > 500).sum())
     assert row["n_k9"] == int(ev.props.str.contains('"k": 9',
                                                     regex=False).sum())
+
+
+def test_chunk_documents_matches_brute_force(spark):
+    """Chunk boundaries vs a python reimplementation across the edge
+    cases: empty/NULL text (one empty chunk — nothing vanishes), exactly
+    max_tokens, max_tokens+1, long docs; plus the overlap-reconstruction
+    property (dropping each later chunk's first `overlap` tokens and
+    concatenating re-yields the original token stream)."""
+    from ore_etl_spark.functions.text import chunk_documents
+
+    import pytest as _pytest
+
+    max_t, ov = 5, 2
+    stride = max_t - ov
+    docs = {
+        1: "", 2: None, 3: "a b c", 4: "t1 t2 t3 t4 t5",
+        5: "t1 t2 t3 t4 t5 t6",
+        6: " ".join(f"w{i}" for i in range(23)),
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, max_t, ov).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["n_tokens"]))
+    for d in got.values():
+        d.sort()
+    for i, text in docs.items():
+        tk = (text or "").split()
+        if len(tk) <= max_t:
+            want = [(0, " ".join(tk), len(tk))]
+        else:
+            n_chunks = 1 + -(-(len(tk) - max_t) // stride)
+            want = [(c, " ".join(tk[c * stride:c * stride + max_t]),
+                     len(tk[c * stride:c * stride + max_t]))
+                    for c in range(n_chunks)]
+        assert got[i] == want, f"doc {i}"
+    # overlap reconstruction on the long doc
+    parts = [t.split() for _, t, _ in got[6]]
+    rebuilt = parts[0] + [w for p in parts[1:] for w in p[ov:]]
+    assert rebuilt == docs[6].split()
+    with _pytest.raises(ValueError):
+        chunk_documents(df, 5, 5)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, 0)
+
+
+def test_pii_redact_matches_python_re(spark):
+    """Redaction + counts vs python's re over the same patterns, and the
+    order contract: the email pass runs before ipv4, so a dotted-digit
+    email local part ('1.2.3.4@x.com') redacts as ONE email, not an IP
+    inside a mangled address."""
+    import re
+
+    from ore_etl_spark.functions.text import PII_ORDER, PII_PATTERNS, pii_redact
+
+    rows = [
+        (1, "mail me at alice.b+spam@corp.example.org thanks"),
+        (2, "srv 10.0.255.7 and 192.168.1.1 up; card 4111111111111111"),
+        (3, "1.2.3.4@x.com is an email, 1.2.3.4 is an ip"),
+        (4, "nothing here"), (5, ""), (6, None),
+        (7, "short 123456789012 (12 digits: kept) 1234567890123 (13: hit)"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    for i, text in rows:
+        if text is None:
+            assert got[i]["clean_text"] is None
+            continue
+        want = text
+        for name in PII_ORDER:
+            want = re.sub(PII_PATTERNS[name], f"<{name.upper()}>", want)
+        assert got[i]["clean_text"] == want, f"doc {i}"
+        for name in PII_ORDER:
+            assert got[i][f"n_{name}"] == len(
+                re.findall(PII_PATTERNS[name], text)), f"doc {i} {name}"
+    assert got[3]["clean_text"] == "<EMAIL> is an email, <IPV4> is an ip"
+    assert got[2]["n_longnum"] == 1 and got[7]["n_longnum"] == 1
