@@ -1135,7 +1135,7 @@ def oracle_sql() -> dict[str, str]:
         toks AS (
           SELECT doc_id, text,
                  list_filter(string_split(
-                   regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                   regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '),
                    t -> t <> '') AS tk
           FROM documents),
         sh AS (
@@ -1162,7 +1162,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, u.tok
           FROM (SELECT doc_id,
                   list_filter(string_split(
-                    regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                    regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '),
                     t -> t <> '') AS tk
                 FROM documents) d,
                LATERAL unnest(d.tk) AS u(tok)),
@@ -1303,8 +1303,8 @@ def oracle_sql() -> dict[str, str]:
         "text_features": f"""
             WITH base AS (
               SELECT doc_id, text,
-                list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk,
-                list_filter(string_split_regex(lower(text), '\\s+'),
+                list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS tk,
+                list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                             t -> t <> '') AS lt
               FROM documents),
             feats AS (
@@ -1312,7 +1312,7 @@ def oracle_sql() -> dict[str, str]:
                 len(tk) AS n_tokens,
                 len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
                     t -> t <> '')) AS n_word_tokens,
-                round((length(text) - length(regexp_replace(text, '[^\\w\\s]',
+                round((length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]',
                        '', 'g'))) / greatest(length(text), 1), 6) AS punct_ratio,
                 round(len(list_filter(lt, t -> list_contains([{stop_in}], t)))
                       / greatest(len(lt), 1), 6) AS stopword_ratio,
@@ -1329,7 +1329,7 @@ def oracle_sql() -> dict[str, str]:
             FROM feats
         """,
         "dedup_exact": """
-            SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS digest,
+            SELECT md5(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS digest,
                    count(*) AS n_docs, min(doc_id) AS keep_id
             FROM documents GROUP BY 1
         """,
@@ -1341,7 +1341,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id, text,
                      list_filter(string_split(
-                       regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                       regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '),
                        t -> t <> '') AS tk
               FROM documents),
             bsnip AS (
@@ -1356,7 +1356,7 @@ def oracle_sql() -> dict[str, str]:
             ctoks AS (
               SELECT doc_id,
                      list_filter(string_split(
-                       regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                       regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '),
                        t -> t <> '') AS tk
               FROM corpus),
             cg AS (
@@ -1387,7 +1387,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             n AS (
               SELECT doc_id,
-                     regexp_replace(lower(text), '\\s+', ' ', 'g') AS s
+                     regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS s
               FROM corpus),
             c AS (
               SELECT doc_id, i.i AS idx,
@@ -1760,7 +1760,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_token_shards": """
             WITH t AS (
               SELECT doc_id,
-                     len(list_filter(string_split_regex(text, '\\s+'),
+                     len(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
                          t -> t <> ''))::BIGINT AS n_tokens
               FROM documents)
             SELECT doc_id, n_tokens,

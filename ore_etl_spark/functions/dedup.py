@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 
 def norm_text(col: Column) -> Column:
-    return F.regexp_replace(F.lower(col), r"\s+", " ")
+    return F.regexp_replace(F.lower(col), r"[ \t\n\x0B\f\r]+", " ")
 
 
 def exact_digest(col: Column) -> Column:

@@ -21,9 +21,16 @@ LANG_MARKERS = {
 STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
 
 
+# Java's \s is exactly [ \t\n\x0B\f\r]; RE2 (DuckDB) \s LACKS \x0B, so
+# oracle-mirrored regexes spell the class out on BOTH engines — byte-
+# identical tokenization even on control-whitespace text, instead of a
+# latent false VALUE MISMATCH the printable-ASCII test corpus never hits.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization (empty tokens dropped)."""
-    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+    return F.filter(F.split(col, WS_CLASS + "+"), lambda t: t != "")
 
 
 def token_count(col: Column) -> Column:
@@ -37,7 +44,8 @@ def word_token_count(col: Column) -> Column:
 
 
 def punct_ratio(col: Column) -> Column:
-    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    n_punct = F.length(col) - F.length(
+        F.regexp_replace(col, r"[^\w \t\n\x0B\f\r]", ""))
     return F.round(n_punct / F.greatest(F.length(col), F.lit(1)), 6)
 
 
@@ -79,7 +87,7 @@ def lang_id(col: Column) -> Column:
 
 def fingerprint(col: Column) -> Column:
     """Deterministic whole-document fingerprint: md5 of normalized text."""
-    norm = F.regexp_replace(F.lower(col), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(col), WS_CLASS + "+", " ")
     return F.md5(norm)
 
 
@@ -95,7 +103,7 @@ def chunk_fingerprints(col: Column, chunk_chars: int = 64,
     minhash LSH. ``max_chunks`` bounds the array (and join fan-out) for
     pathological documents; boundaries are pure integer arithmetic so the
     DuckDB oracle reproduces the chunking byte-for-byte."""
-    norm = F.regexp_replace(F.lower(col), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(col), WS_CLASS + "+", " ")
     ln = F.length(norm)
     n = F.least(F.ceil(ln / F.lit(chunk_chars)), F.lit(max_chunks)).cast("int")
     idx = F.sequence(F.lit(0), n - 1)
@@ -148,11 +156,14 @@ def pii_redact(df: DataFrame, text_col: str = "text",
     out = c
     for name in PII_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
-    res = df.withColumn(out_col, out)
+    # counts FIRST: withColumn re-resolves later F.col(text_col) against
+    # the mutated frame, so an in-place scrub (out_col == text_col) would
+    # otherwise count the already-redacted text and report zero matches
+    res = df
     for name in PII_ORDER:
         res = res.withColumn(
             f"n_{name}", F.regexp_count(c, F.lit(PII_PATTERNS[name])))
-    return res
+    return res.withColumn(out_col, out)
 
 
 def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,

@@ -78,7 +78,7 @@ EXTRA_ORACLES = {
     "chunk_documents": """
         WITH t AS (
           SELECT doc_id,
-                 coalesce(list_filter(string_split_regex(text, '\\s+'),
+                 coalesce(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
                           x -> x <> ''), []) AS tk
           FROM documents),
         c AS (

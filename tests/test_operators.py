@@ -254,3 +254,16 @@ def test_pii_redact_matches_python_re(spark):
                 re.findall(PII_PATTERNS[name], text)), f"doc {i} {name}"
     assert got[3]["clean_text"] == "<EMAIL> is an email, <IPV4> is an ip"
     assert got[2]["n_longnum"] == 1 and got[7]["n_longnum"] == 1
+
+
+def test_pii_redact_in_place_counts_original(spark):
+    """out_col == text_col (in-place scrub) must still count matches on
+    the ORIGINAL text — withColumn re-resolves later column refs against
+    the mutated frame, so counts are computed before the overwrite."""
+    from ore_etl_spark.functions.text import pii_redact
+
+    df = spark.createDataFrame([(1, "mail a@b.com now")],
+                               "doc_id long, text string")
+    r = pii_redact(df, out_col="text").collect()[0]
+    assert r["text"] == "mail <EMAIL> now"
+    assert r["n_email"] == 1
