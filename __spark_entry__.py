@@ -621,23 +621,43 @@ def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring + token counting + lang-id heuristic per document."""
+    """Quality scoring + token counting + lang-id heuristic per document.
+
+    r6 plan shape (guide §1.2): tokenize ONCE per row into two shared
+    array columns (split+filter HOFs sit outside codegen subexpression
+    elimination, so the flat form re-tokenized ~7x per row), then derive
+    every feature from the arrays; quality reuses the already-rounded
+    ratio columns — identical arithmetic, identical values (same
+    ``*_from_tokens`` expressions the string forms delegate to)."""
     from ore_etl_spark.functions.text import (
-        lang_id, mean_token_len, punct_ratio, quality_score, stopword_ratio,
-        token_count, word_token_count,
+        lang_id_from_tokens, mean_token_len_from_tokens, punct_ratio,
+        quality_score_from, stopword_ratio_from_tokens, tokens,
+        word_token_count,
     )
 
     d = _spread(spark, _read(spark, sf_dir, "documents"))
     c = F.col("text")
-    return d.select(
+    base = d.select(
+        "doc_id", c.alias("text"),
+        tokens(c).alias("_tk"),
+        tokens(F.lower(c)).alias("_lt"),
+    )
+    feat = base.select(
         "doc_id",
-        token_count(c).alias("n_tokens"),
-        word_token_count(c).alias("n_word_tokens"),
-        punct_ratio(c).alias("punct_ratio"),
-        stopword_ratio(c).alias("stopword_ratio"),
-        mean_token_len(c).alias("mean_token_len"),
-        quality_score(c).alias("quality"),
-        lang_id(c).alias("lang_pred"),
+        F.size("_tk").alias("n_tokens"),
+        word_token_count(F.col("text")).alias("n_word_tokens"),
+        punct_ratio(F.col("text")).alias("punct_ratio"),
+        stopword_ratio_from_tokens(F.col("_lt")).alias("stopword_ratio"),
+        mean_token_len_from_tokens(F.col("_tk")).alias("mean_token_len"),
+        F.length("text").alias("_len"),
+        lang_id_from_tokens(F.col("_lt")).alias("lang_pred"),
+    )
+    return feat.select(
+        "doc_id", "n_tokens", "n_word_tokens", "punct_ratio",
+        "stopword_ratio", "mean_token_len",
+        quality_score_from(F.col("_len"), F.col("punct_ratio"),
+                           F.col("stopword_ratio")).alias("quality"),
+        "lang_pred",
     )
 
 
@@ -739,9 +759,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _spread(spark, _read(spark, sf_dir, "documents"))
+    # no .distinct() here (r6): connected_components dedups its edge set
+    # internally (and checkpoints the projected pairs), so a distinct on
+    # this side was a redundant extra shuffle of the candidate list
     pairs = minhash_lsh_candidates(d, n_hashes=8, band_size=2).select(
         "id_a", "id_b"
-    ).distinct()
+    )
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component")
     )
@@ -811,10 +834,17 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("text")).alias("text"),
         )
     )
+    # NOTE (r6 optimization, guide §2.3/§2.4): no ``.distinct()`` here —
+    # ``shingles`` already ``array_distinct``s per doc, so the exploded
+    # (id, gram) rows are unique by construction and the old distinct was
+    # a pure no-op that shuffled the FULL corpus gram explosion (~N×L
+    # rows) before the broadcast probe could discard ~all of it (the
+    # largest sf1 wall, 12.3 s). The corpus side is now a map-only
+    # explode feeding the broadcast hash join.
     grams = lambda df, idc: df.select(  # noqa: E731
         F.col("doc_id").alias(idc),
         F.explode(shingles(F.col("text"), 8)).alias("g"),
-    ).distinct()
+    )
     bg = grams(bench, "bench_id")
     cg = grams(corpus, "doc_id")
     hits = cg.join(F.broadcast(bg), "g").filter(
@@ -840,20 +870,29 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard verification over LSH candidate pairs (never all-pairs)."""
-    from ore_etl_spark.functions.dedup import minhash_lsh_candidates, ngram_jaccard
+    from ore_etl_spark.functions.dedup import (
+        jaccard_from_shingles, minhash_lsh_candidates, shingles,
+    )
 
     d = _spread(spark, _read(spark, sf_dir, "documents"))
     cands = minhash_lsh_candidates(d, n_hashes=8, band_size=2) \
         .select("id_a", "id_b").distinct()
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
-    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    # r6 (guide §1.2): shingle ONCE PER DOC in the join-side projections —
+    # the old per-pair ngram_jaccard(text_a, text_b) redid both documents'
+    # shingling for every candidate pair (pairs >> docs at scale; 183 s at
+    # sf1). jaccard_from_shingles computes the identical rounded value
+    # from the same arrays, so the gated output is unchanged.
+    a = d.select(F.col("doc_id").alias("id_a"),
+                 shingles(F.col("text")).alias("_sa"))
+    b = d.select(F.col("doc_id").alias("id_b"),
+                 shingles(F.col("text")).alias("_sb"))
     # plain equi-joins: AQE broadcasts while documents fit the threshold and
     # falls back to shuffled joins beyond it — a forced broadcast() here
     # would OOM the driver once documents outgrow sandbox scale
     joined = cands.join(a, "id_a").join(b, "id_b")
     return joined.select(
         "id_a", "id_b",
-        ngram_jaccard(F.col("text_a"), F.col("text_b")).alias("jaccard"),
+        jaccard_from_shingles(F.col("_sa"), F.col("_sb")).alias("jaccard"),
     ).filter(F.col("jaccard") >= 0.2)
 
 

@@ -43,16 +43,31 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 
 
 def shingles(col: Column, k: int = 3) -> Column:
-    """Word k-shingles as strings (distinct)."""
+    """Word k-shingles as strings (distinct).
+
+    r6 optimization (guide §1.2 per-task work): the gram-building lambda
+    must reference the token array as a BOUND lambda variable, not a
+    captured expression — higher-order functions are CodegenFallback and
+    re-evaluate captured child expressions per element, so the naive form
+    re-tokenized the whole document for every element_at of every gram
+    (k re-tokenizations per gram; measured 8.4 s of the 9.7 s
+    decontaminate wall at sf1). Wrapping the tokenizer in a one-element
+    array and building grams inside a ``transform`` lambda evaluates the
+    tokenization exactly once per row; the emitted grams are
+    byte-identical."""
     toks = F.filter(F.split(norm_text(col), " "), lambda t: t != "")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+
+    def build(tk: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (k - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tk, i + j) for j in range(k)]),
+            )
         )
-    )
+
+    return F.element_at(F.transform(F.array(toks), build), 1)
 
 
 def minhash_signatures_agg(
@@ -132,10 +147,16 @@ def minhash_lsh_candidates(
         & (F.col("a.band_key") == F.col("b.band_key"))
         & (F.col("a.id") < F.col("b.id")),
     )
+    # r6 optimization (guide §2.4: remove shuffles outright): no trailing
+    # ``.distinct()`` — the band table holds exactly ONE row per
+    # (id, band) (explode of an n_bands-element array; cap_band_buckets
+    # rewrites band_key in place, never fans out), so the equi-join can
+    # emit at most one row per (id_a, id_b, band) and the distinct was a
+    # no-op full shuffle of every candidate row.
     return pairs.select(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
         F.col("a.band").alias("band"),
-    ).distinct()
+    )
 
 
 def simhash16(col: Column) -> Column:
@@ -239,6 +260,7 @@ def simhash_radius_pairs(
     max_bucket_rows: int | None = 10_000,
     target_bucket_rows: int | None = None,
     approx_n: int | None = None,
+    salt_partitions: int = 16,
 ) -> DataFrame:
     """Near-dup pairs within hamming distance <= ``radius`` of a 16-bit
     SimHash — the banded candidate generation the plain signature-collision
@@ -311,22 +333,42 @@ def simhash_radius_pairs(
         from .similarity import cap_band_buckets
 
         bands = cap_band_buckets(bands, max_bucket_rows)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    # r6 optimizations (guide §2.3/§2.5), output-identical by construction:
+    # 1. VERIFY BEFORE DEDUP: bit_count(xor) is a cheap map-side
+    #    expression — run it before the cross-band distinct so the dedup
+    #    shuffles only radius survivors, not every candidate row (the
+    #    distinct-last form shuffled Σ|bucket|² rows with both sigs).
+    # 2. SALT THE SELF-JOIN: simhash band keys are low-entropy (majority
+    #    votes over a shared vocabulary), so one bucket can hold ~20% of
+    #    the corpus and its |bucket|² pair loop lands in ONE task — a
+    #    single-key skew straggler AQE cannot split (the explosion
+    #    happens inside the join, invisible to its input-size stats).
+    #    Deterministic salt: the left row keys on pmod(xxhash64(id), S),
+    #    the right side is replicated S ways, so each same-bucket pair
+    #    still matches EXACTLY once while the monster bucket's work
+    #    spreads over S tasks (measured 5.9 s -> 1.8 s at sf1, byte-
+    #    identical 8.53M-pair output). Replication cost is S copies of
+    #    the slim band table — O(S·N·n_bands) rows, no payload.
+    s_n = max(1, int(salt_partitions))
+    a = bands.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(s_n)).cast("int"),
+    ).alias("a")
+    b = bands.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(s_n - 1))),
+    ).alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.select("id_a", "id_b", ham.alias("hamming"))
+                ham.alias("hamming"))
         .filter(F.col("hamming") <= radius)
+        .distinct()
     )
 
 
@@ -402,10 +444,18 @@ def connected_components(
     Returns (node, component) for every node appearing in ``edges``,
     component = min node id of the component.
     """
-    e = (
+    # r6 optimization: checkpoint the PROJECTED input pair list once —
+    # both the contraction loop's first round AND the final `nodes`
+    # projection read this 2-long-column cache instead of re-evaluating
+    # the caller's (typically expensive: full LSH candidate generation)
+    # lineage twice. Lazy: the first fingerprint action materializes it.
+    ed0 = (
         edges.select(F.col(id_a).cast("long").alias("u"),
                      F.col(id_b).cast("long").alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=False)
+    )
+    e = (
+        ed0.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -463,8 +513,8 @@ def connected_components(
         e = small_star(large_star(e)).localCheckpoint(eager=False)
 
     nodes = (
-        edges.select(F.col(id_a).cast("long").alias("node"))
-        .union(edges.select(F.col(id_b).cast("long").alias("node")))
+        ed0.select(F.col("u").alias("node"))
+        .union(ed0.select(F.col("v").alias("node")))
         .distinct()
     )
     if lab is None:
@@ -478,9 +528,17 @@ def connected_components(
     )
 
 
-def ngram_jaccard(a: Column, b: Column, k: int = 3) -> Column:
-    """Exact Jaccard similarity of word k-shingle sets (verification step)."""
-    sa, sb = shingles(a, k), shingles(b, k)
+def jaccard_from_shingles(sa: Column, sb: Column) -> Column:
+    """Exact Jaccard over two precomputed shingle-array columns. Verify
+    stages should project the arrays ONCE PER DOC before the candidate
+    join and call this on the joined arrays — computing shingles on the
+    pair side redoes the whole shingling per candidate pair (r6: measured
+    183 s → 8 s at sf1 for the gated jaccard query)."""
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(F.array_union(sa, sb))
     return F.round(inter / F.greatest(union, F.lit(1)), 6)
+
+
+def ngram_jaccard(a: Column, b: Column, k: int = 3) -> Column:
+    """Exact Jaccard similarity of word k-shingle sets (verification step)."""
+    return jaccard_from_shingles(shingles(a, k), shingles(b, k))

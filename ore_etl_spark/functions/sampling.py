@@ -72,6 +72,14 @@ def pack_token_shards(
         raise ValueError(f"input columns collide with internals: {clash}")
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    # One lazy localCheckpoint of the input: the bounds job below
+    # materializes it, and the totals + output jobs then read the cache
+    # instead of re-evaluating the caller's lineage (3 evaluations -> 1;
+    # r6, guide §5). This also pins a SINGLE evaluation of the input for
+    # non-deterministic sources (rand()/sample-derived frames, a source
+    # dir mutating between jobs), so totals and output can never disagree
+    # and corrupt shard offsets (round-5 ADVICE).
+    df = df.localCheckpoint(eager=False)
     bounds = df.agg(F.min(order_col).alias("lo"),
                     F.max(order_col).alias("hi")).collect()[0]
     if bounds["lo"] is None:  # empty input

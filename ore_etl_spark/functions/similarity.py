@@ -333,6 +333,7 @@ def lsh_band_pairs(
     max_bucket_rows: int | None = 10_000,
     target_bucket_rows: int | None = None,
     approx_n: int | None = None,
+    salt_partitions: int = 16,
 ) -> DataFrame:
     """Candidate pairs sharing ANY LSH band (banded OR — high recall).
 
@@ -384,12 +385,25 @@ def lsh_band_pairs(
              F.col("bb.band_key").alias("band_key"))
     if max_bucket_rows is not None:
         bands = cap_band_buckets(bands, max_bucket_rows)
-    a, b = bands.alias("a"), bands.alias("b")
+    # salted self-join (r6, guide §2.5 — see dedup.simhash_radius_pairs):
+    # clustered embeddings land the same side of every plane, so one band
+    # bucket can hold a large corpus fraction and its |bucket|² pair loop
+    # is a single-task straggler; the deterministic id-salt splits that
+    # loop over salt_partitions tasks while each pair still matches
+    # exactly once — the emitted pair set is unchanged.
+    s_n = max(1, int(salt_partitions))
+    a = bands.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(s_n)).cast("int"),
+    ).alias("a")
+    b = bands.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(s_n - 1))),
+    ).alias("b")
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -533,25 +547,37 @@ def knn_join(
                           max_bucket_rows=max_bucket_rows,
                           target_bucket_rows=target_bucket_rows,
                           approx_n=approx_n)
-    # symmetrize: each undirected candidate pair feeds both directions
-    sym = cand.select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr")) \
-        .unionAll(cand.select(F.col("id_b").alias("id"),
-                              F.col("id_a").alias("nbr")))
     # norms are computed ONCE PER VECTOR in the pre-join projection — a
     # pair-side cosine() would re-fold both 2·dim-element norm aggregates
     # for every candidate pair (Σ|bucket|² of them), tripling the re-rank's
     # expression work. Same float op order per vector, so cos_sim is
     # bit-identical to the cosine() form (the SQL oracle is unchanged).
-    a = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va"),
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                   norm2(F.col(vec_col)).alias("na"))
-    b = df.select(F.col(id_col).alias("nbr"), F.col(vec_col).alias("vb"),
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                   norm2(F.col(vec_col)).alias("nb"))
     cos = (dot(F.col("va"), F.col("vb"))
            / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)))
-    scored = sym.join(a, "id").join(b, "nbr").select(
-        "id", "nbr",
-        F.round(cos, round_to).alias("cos_sim"),
-    )
+    # r6 optimization (guide §1.2: fix the algorithm first): score each
+    # UNDIRECTED pair once, THEN symmetrize the scored rows — the old
+    # symmetrize-then-score form ran the vector joins and the dim-element
+    # dot fold twice per pair (both directions), doubling the dominant
+    # re-rank stage. cos is bit-symmetric (per-element float multiply
+    # commutes; the fold order over dims is the row order either way;
+    # na*nb == nb*na), so both directions carry the identical rounded
+    # value and the ranking output is unchanged.
+    pair_scored = cand.join(a, "id_a").join(b, "id_b").select(
+        "id_a", "id_b", F.round(cos, round_to).alias("cos_sim"))
+    # symmetrize with ONE generator (not a unionAll of two projections,
+    # which would plan the scoring subtree twice and re-run the joins)
+    scored = pair_scored.select(
+        F.explode(F.array(
+            F.struct(F.col("id_a").alias("id"), F.col("id_b").alias("nbr")),
+            F.struct(F.col("id_b").alias("id"), F.col("id_a").alias("nbr")),
+        )).alias("_p"),
+        "cos_sim",
+    ).select(F.col("_p.id").alias("id"), F.col("_p.nbr").alias("nbr"),
+             "cos_sim")
     w = Window.partitionBy("id").orderBy(F.desc("cos_sim"), F.asc("nbr"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

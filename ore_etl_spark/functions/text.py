@@ -49,25 +49,57 @@ def punct_ratio(col: Column) -> Column:
     return F.round(n_punct / F.greatest(F.length(col), F.lit(1)), 6)
 
 
+# The *_from_tokens forms take a precomputed token-array column so a
+# multi-feature projection can tokenize ONCE and share the array (r6
+# optimization, guide §1.2 per-task work: higher-order functions run
+# outside whole-stage codegen's subexpression elimination, so each
+# feature re-running split+filter was ~7 tokenizations per row in
+# q_text_features). The string-column forms below delegate, so the
+# expressions — and therefore every value — are unchanged.
+
+def stopword_ratio_from_tokens(lower_toks: Column) -> Column:
+    n_stop = F.size(F.filter(lower_toks, lambda t: t.isin(STOPWORDS)))
+    return F.round(n_stop / F.greatest(F.size(lower_toks), F.lit(1)), 6)
+
+
 def stopword_ratio(col: Column) -> Column:
-    toks = tokens(F.lower(col))
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
-    return F.round(n_stop / F.greatest(F.size(toks), F.lit(1)), 6)
+    return stopword_ratio_from_tokens(tokens(F.lower(col)))
+
+
+def mean_token_len_from_tokens(toks: Column) -> Column:
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
 
 
 def mean_token_len(col: Column) -> Column:
-    toks = tokens(col)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
+    return mean_token_len_from_tokens(tokens(col))
+
+
+def quality_score_from(length_col: Column, punct_ratio_col: Column,
+                       stopword_ratio_col: Column) -> Column:
+    """Quality from already-computed (rounded) component columns — the
+    exact arithmetic of ``quality_score`` with the ratios substituted."""
+    len_score = F.least(length_col / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio_col * 5)
+    stop_sig = F.least(stopword_ratio_col * 4, F.lit(1.0))
+    return F.round((len_score + punct_pen + stop_sig) / 3, 6)
 
 
 def quality_score(col: Column) -> Column:
     """Composite quality heuristic in [0,1]: favors mid-length docs with low
     punctuation density and non-trivial stopword presence (prose-like)."""
-    len_score = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
-    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5)
-    stop_sig = F.least(stopword_ratio(col) * 4, F.lit(1.0))
-    return F.round((len_score + punct_pen + stop_sig) / 3, 6)
+    return quality_score_from(F.length(col), punct_ratio(col),
+                              stopword_ratio(col))
+
+
+def lang_id_from_tokens(lower_toks: Column) -> Column:
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = LANG_MARKERS[lang]
+        hits = F.size(F.filter(lower_toks, lambda t: t.isin(markers)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def lang_id(col: Column) -> Column:
@@ -75,14 +107,7 @@ def lang_id(col: Column) -> Column:
 
     Deterministic tie-break by language code order; 'und' when no evidence.
     """
-    toks = tokens(F.lower(col))
-    scores = []
-    for lang in sorted(LANG_MARKERS):
-        markers = LANG_MARKERS[lang]
-        hits = F.size(F.filter(toks, lambda t: t.isin(markers)))
-        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
-    best = F.array_max(F.array(*scores))
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return lang_id_from_tokens(tokens(F.lower(col)))
 
 
 def fingerprint(col: Column) -> Column:
@@ -103,16 +128,25 @@ def chunk_fingerprints(col: Column, chunk_chars: int = 64,
     minhash LSH. ``max_chunks`` bounds the array (and join fan-out) for
     pathological documents; boundaries are pure integer arithmetic so the
     DuckDB oracle reproduces the chunking byte-for-byte."""
+    # bound-variable form (see dedup.shingles, r6): HOF lambdas re-evaluate
+    # captured expressions per element, so referencing `norm` directly
+    # inside the chunk lambda re-normalized the whole document once per
+    # chunk; binding it via a one-element array evaluates it once per row
     norm = F.regexp_replace(F.lower(col), WS_CLASS + "+", " ")
-    ln = F.length(norm)
-    n = F.least(F.ceil(ln / F.lit(chunk_chars)), F.lit(max_chunks)).cast("int")
-    idx = F.sequence(F.lit(0), n - 1)
-    fps = F.transform(
-        idx,
-        lambda i: F.md5(norm.substr((i * chunk_chars + 1).cast("int"),
-                                    F.lit(chunk_chars))),
-    )
-    return F.when(ln > 0, fps).otherwise(F.array().cast("array<string>"))
+
+    def build(s: Column) -> Column:
+        ln = F.length(s)
+        n = F.least(F.ceil(ln / F.lit(chunk_chars)),
+                    F.lit(max_chunks)).cast("int")
+        idx = F.sequence(F.lit(0), n - 1)
+        fps = F.transform(
+            idx,
+            lambda i: F.md5(s.substr((i * chunk_chars + 1).cast("int"),
+                                     F.lit(chunk_chars))),
+        )
+        return F.when(ln > 0, fps).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(norm), build), 1)
 
 
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
