@@ -379,7 +379,7 @@ class CdcApplyPipeline:
 
     # ------------------------------------------------------------------
     def run(self, batch_span: int | None = None, max_batches: int | None = None,
-            pipelined: bool = False) -> list[dict]:
+            pipelined: bool | None = None) -> list[dict]:
         """Catch up from the checkpoint to the current WAL head.
 
         ``pipelined``: prefetch batch N+1's stats pass on a worker thread
@@ -390,10 +390,15 @@ class CdcApplyPipeline:
         (the stats pass is read-only; commits stay strictly ordered), but
         only enable it when executors have spare slots during the merge —
         on a saturated cluster two concurrent jobs just split the same
-        cores (measured 47% slower at local[2]).
+        cores (measured 47% slower at local[2]). Default ``None`` (r6,
+        guide §2.6): auto-enable at >= 16 scheduler slots, where the
+        merge's serial write/commit tail leaves cores idle that the
+        prefetch back-fills; small-parallelism runs stay sequential.
         """
         from concurrent.futures import ThreadPoolExecutor
 
+        if pipelined is None:
+            pipelined = self.spark.sparkContext.defaultParallelism >= 16
         self.quarantine_malformed_source()
         lo_all, hi_all = self.delivery_range()
         if hi_all is None:  # empty WAL — nothing to apply

@@ -57,6 +57,17 @@ def get_spark(
         # scaling (measured ~10s/batch at 64 buckets)
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
+    # file:// without CRC sidecar files (r6, guide §6): Hadoop's default
+    # LocalFileSystem writes+verifies a .crc per file, which doubles the
+    # per-file fs ops — at MOR's many-small-delta-files write shape that
+    # was ~35% of the append wall (measured 5.2 s -> 3.4 s per 2.5k-file
+    # batch). Scheme-scoped: only remaps file:// — HDFS/S3A deployments
+    # (which carry their own integrity) are untouched, so this is a
+    # local-storage fix, not a local[32] tune. Opt back into checksums
+    # with SPARK_GRAFT_LOCAL_FS_CHECKSUMS=1.
+    if not os.environ.get("SPARK_GRAFT_LOCAL_FS_CHECKSUMS"):
+        b = b.config("spark.hadoop.fs.file.impl",
+                     "org.apache.hadoop.fs.RawLocalFileSystem")
     if not os.environ.get("SPARK_GRAFT_EXISTING_MASTER"):
         b = b.master(f"local[{cpus}]")
     if extra_conf:

@@ -192,3 +192,26 @@ def test_streaming_restart_processes_only_new_files(spark, tmpdir_path, wal):
         batch_id=f"restart-epoch-{replay_epoch}",
     )
     assert m.skipped_already_committed and tbl.version == before
+
+
+def test_pipelined_run_matches_sequential(spark, tmpdir_path, wal):
+    """r6: run(pipelined=True) (the >=16-slot default) prefetches batch
+    N+1's stats pass while batch N merges — final table state and
+    per-batch metrics must match the sequential path exactly."""
+    seq = build(spark, f"{tmpdir_path}/a", wal)
+    lo, hi = seq.delivery_range()
+    span = max(1, (hi - lo) // 4 + 1)
+    r_seq = seq.run(batch_span=span, pipelined=False)
+    pipe = CdcApplyPipeline(
+        spark, wal,
+        MergeTable.create(
+            spark, f"{tmpdir_path}/b/target", target_schema(),
+            key_cols=["repo", "path"],
+            version_cols=["commit_seq", "event_seq"], n_buckets=8),
+        f"{tmpdir_path}/b/state")
+    r_pip = pipe.run(batch_span=span, pipelined=True)
+    assert [r["batch_id"] for r in r_pip] == [r["batch_id"] for r in r_seq]
+    assert [r["n_in"] for r in r_pip] == [r["n_in"] for r in r_seq]
+    assert ([r["n_quarantined"] for r in r_pip]
+            == [r["n_quarantined"] for r in r_seq])
+    parity(spark, pipe.table, wal)
