@@ -38,9 +38,15 @@ def token_count(col: Column) -> Column:
 
 
 def word_token_count(col: Column) -> Column:
-    """BPE-ish token proxy: count of word-or-symbol chunks (regex split on
-    word boundaries), a cheap stand-in for subword tokenizers."""
-    return F.size(F.filter(F.split(col, r"[^A-Za-z0-9]+"), lambda t: t != ""))
+    """BPE-ish token proxy: count of word-or-symbol chunks, a cheap
+    stand-in for subword tokenizers.
+
+    Counted as ``regexp_count('[A-Za-z0-9]+')`` — the number of maximal
+    alphanumeric runs, which is exactly what the split-on-delimiters +
+    drop-empties form counted (r6: the split materialized and filtered a
+    full token array per row just to take its size — 2.06 s of the 2.37 s
+    text_features wall at sf1; one regex scan, same value)."""
+    return F.regexp_count(col, F.lit(r"[A-Za-z0-9]+"))
 
 
 def punct_ratio(col: Column) -> Column:
