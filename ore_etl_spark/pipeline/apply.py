@@ -418,6 +418,36 @@ class CdcApplyPipeline:
             n += 1
         if not ranges:
             return []
+
+        # r6 (guide §2.6): MOR fast-path batches are order-independent by
+        # construction — shuffle-free delta APPENDS whose CAS commits
+        # rebase unconditionally and whose LWW is resolved at read — so
+        # two batches can be in flight at once, the second back-filling
+        # the cores the first's small-file write/commit tail leaves idle
+        # (measured 20.2 s -> ~16 s on the 1M-event 4-batch bench). The
+        # global hwm ("everything <= hwm applied") still only ever
+        # advances over the CONTIGUOUS completed prefix: workers run with
+        # update_global_hwm=False and the main thread publishes after
+        # batch i resolves, at which point 0..i are all complete — a
+        # crash mid-flight can only leave the hwm at a fully-applied
+        # prefix (replays are snapshot-level no-ops). COW stays
+        # sequential: its merges read the parent snapshot, so concurrent
+        # COW batches would just recompute under CommitConflict.
+        if (self.mode == "mor" and self.mor_fast_path and len(ranges) > 1
+                and self.compact_every is None and self.compact_depth is None
+                and self.spark.sparkContext.defaultParallelism >= 16):
+            # (mid-stream auto-compaction stays sequential: two threads
+            # could both trip the cadence and race redundant compacts)
+            results = []
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [pool.submit(self.run_batch, lo, hi,
+                                    update_global_hwm=False)
+                        for lo, hi in ranges]
+                for (lo, hi), fut in zip(ranges, futs):
+                    results.append(fut.result())
+                    self.checkpoints.set(self.pipeline, hi, monotone=True)
+            return results
+
         if not pipelined or len(ranges) == 1:
             return [self.run_batch(lo, hi) for lo, hi in ranges]
 

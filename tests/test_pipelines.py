@@ -215,3 +215,47 @@ def test_pipelined_run_matches_sequential(spark, tmpdir_path, wal):
     assert ([r["n_quarantined"] for r in r_pip]
             == [r["n_quarantined"] for r in r_seq])
     parity(spark, pipe.table, wal)
+
+
+def test_concurrent_mor_batches_match_sequential(spark, tmpdir_path, wal):
+    """r6: the MOR fast path runs two delta-append batches in flight (the
+    >=16-slot default; forced here by patching the slot check is not
+    needed — exercise the worker path directly via run_batch +
+    update_global_hwm=False then compare to a sequential run)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def make(sub):
+        tbl = MergeTable.create(
+            spark, f"{tmpdir_path}/{sub}/target", target_schema(),
+            key_cols=["repo", "path"],
+            version_cols=["commit_seq", "event_seq"], n_buckets=8)
+        return CdcApplyPipeline(spark, wal, tbl, f"{tmpdir_path}/{sub}/state",
+                                mode="mor", mor_fast_path=True)
+
+    seq = make("seq")
+    lo, hi = seq.delivery_range()
+    span = max(1, (hi - lo) // 4 + 1)
+    seq.run(batch_span=span)  # local[8] in tests -> sequential branch
+    seq.table.compact("final-seq")
+
+    con = make("con")
+    ranges = []
+    cur = lo - 1
+    while cur < hi:
+        h2 = min(cur + span, hi)
+        ranges.append((cur, h2))
+        cur = h2
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(con.run_batch, a, b, update_global_hwm=False)
+                for a, b in ranges]
+        for (a, b), f in zip(ranges, futs):
+            f.result()
+            con.checkpoints.set(con.pipeline, b, monotone=True)
+    con.table.compact("final-con")
+    assert con.checkpoints.get(con.pipeline) == hi
+    parity(spark, con.table, wal)
+    # both sinks converge to the identical state
+    cols = ["repo", "path", "commit_seq", "event_seq", "content_sha256"]
+    a = {tuple(r) for r in seq.table.read().select(*cols).collect()}
+    b = {tuple(r) for r in con.table.read().select(*cols).collect()}
+    assert a == b
