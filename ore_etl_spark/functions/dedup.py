@@ -260,7 +260,7 @@ def simhash_radius_pairs(
     max_bucket_rows: int | None = 10_000,
     target_bucket_rows: int | None = None,
     approx_n: int | None = None,
-    salt_partitions: int = 16,
+    salt_partitions: int | str = "auto",
 ) -> DataFrame:
     """Near-dup pairs within hamming distance <= ``radius`` of a 16-bit
     SimHash — the banded candidate generation the plain signature-collision
@@ -329,10 +329,11 @@ def simhash_radius_pairs(
         ])).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"),
              F.col("bb.band_key").alias("band_key"))
+    gs: dict = {}
     if max_bucket_rows is not None:
         from .similarity import cap_band_buckets
 
-        bands = cap_band_buckets(bands, max_bucket_rows)
+        bands = cap_band_buckets(bands, max_bucket_rows, stats_out=gs)
     # r6 optimizations (guide §2.3/§2.5), output-identical by construction:
     # 1. VERIFY BEFORE DEDUP: bit_count(xor) is a cheap map-side
     #    expression — run it before the cross-band distinct so the dedup
@@ -347,24 +348,42 @@ def simhash_radius_pairs(
     #    the right side is replicated S ways, so each same-bucket pair
     #    still matches EXACTLY once while the monster bucket's work
     #    spreads over S tasks (measured 5.9 s -> 1.8 s at sf1, byte-
-    #    identical 8.53M-pair output). Replication cost is S copies of
-    #    the slim band table — O(S·N·n_bands) rows, no payload.
-    s_n = max(1, int(salt_partitions))
-    a = bands.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(s_n)).cast("int"),
-    ).alias("a")
-    b = bands.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(s_n - 1))),
-    ).alias("b")
+    #    identical 8.53M-pair output). Replication costs S copies of
+    #    the slim band table through the join's shuffle/sort — measured
+    #    2.5x the straggler it removes at the DEFAULT 10k bucket cap
+    #    (salt 1: 3.2 s vs salt 16: 8.2 s at sf1, even with a near-cap
+    #    9k-row hot bucket), because the capacity guard already bounds
+    #    any one bucket's loop at cap²/2 cheap bit_count comparisons.
+    #    So the salt is ADAPTIVE ("auto", default): sized from the
+    #    bucket histogram the guard already collects (zero extra jobs),
+    #    1 at the default cap, engaging only when a caller raises the
+    #    cap past the ~50M-pairs-per-task budget; with the guard off
+    #    there is no histogram and auto stays at the skew-safe maximum.
+    #    The pair set is identical at ANY salt.
+    if salt_partitions == "auto":
+        from .similarity import auto_salt_partitions
+
+        s_n = (auto_salt_partitions(gs["largest_seen"], max_bucket_rows)
+               if "largest_seen" in gs else 16)
+    else:
+        s_n = max(1, int(salt_partitions))
+    a, b = bands.alias("a"), bands.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    if s_n > 1:  # salt 1 is the identity — keep the plan free of it
+        a = bands.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(s_n)).cast("int"),
+        ).alias("a")
+        b = bands.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(s_n - 1))),
+        ).alias("b")
+        cond = cond & (F.col("a._salt") == F.col("b._salt"))
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a._salt") == F.col("b._salt"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 ham.alias("hamming"))
         .filter(F.col("hamming") <= radius)

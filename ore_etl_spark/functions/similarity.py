@@ -239,8 +239,43 @@ def band_bits_needed(n: int, target_bucket_rows: int) -> int:
     return max(0, math.ceil(math.log2(max(1.0, n / target_bucket_rows))))
 
 
+# Adaptive self-join salting (r6, guide §2.5). A static salt is wrong:
+# the S-fold band-table replication costs O(S·N·n_bands) rows through the
+# join's shuffle/sort — measured 3.2 s (salt 1) vs 8.2 s (salt 16) on the
+# sf1 simhash query even WITH a near-cap 9k-row hot bucket, because the
+# capacity guard already bounds any one bucket's |bucket|²/2 pair loop at
+# cap²/2 comparisons (cheap band-key/bit_count work, ~1-2 s per 50M at
+# worst) and a corpus with MANY capped sub-buckets spreads them across
+# tasks by bucket key anyway. Salt therefore engages only when a caller
+# RAISES the cap far enough that one capped loop is a real straggler:
+# S = ceil(min(largest, cap)² / 2 / _SALT_TASK_PAIRS), clamped [1, 16],
+# sized from the bucket histogram cap_band_buckets ALREADY collects for
+# its capacity guard (same single job — the stats ride along for free).
+_SALT_REPORT_OVER = 10_000     # report buckets above this for salt sizing
+                               # (10k²/2 = _SALT_TASK_PAIRS: anything
+                               # smaller can't need more than one task)
+_SALT_TASK_PAIRS = 50_000_000  # per-task pair-loop budget (~1-2 s)
+_GUARD_COLLECT_CAP = 4096      # bound on the single-job histogram collect
+
+
+def auto_salt_partitions(largest_bucket: int, max_bucket_rows: int | None,
+                         max_salt: int = 16) -> int:
+    """Salt factor for a banded self-join, from the largest observed band
+    bucket: enough ways to spread that bucket's |bucket|²/2 pair loop into
+    ~``_SALT_TASK_PAIRS``-sized tasks, never more than ``max_salt``. The
+    capacity guard splits buckets at ``max_bucket_rows``, so the effective
+    per-bucket loop is bounded by the cap."""
+    import math
+
+    eff = int(largest_bucket)
+    if max_bucket_rows is not None:
+        eff = min(eff, int(max_bucket_rows))
+    return max(1, min(max_salt, math.ceil(eff * eff / 2 / _SALT_TASK_PAIRS)))
+
+
 def cap_band_buckets(bands: DataFrame, max_bucket_rows: int,
-                     id_col: str = "id") -> DataFrame:
+                     id_col: str = "id",
+                     stats_out: dict | None = None) -> DataFrame:
     """Band-capacity guard shared by every (band, band_key) blocker.
 
     Buckets larger than ``max_bucket_rows`` are split into
@@ -269,20 +304,40 @@ def cap_band_buckets(bands: DataFrame, max_bucket_rows: int,
     exactly the adversarial input the guard exists for. On a cluster the
     persist recomputes from lineage after executor loss (unlike
     localCheckpoint, which would fail the job). Callers on
-    trusted-entropy corpora can pass ``max_bucket_rows=None``."""
+    trusted-entropy corpora can pass ``max_bucket_rows=None``.
+
+    ``stats_out``: optional dict the histogram rides back in (same job,
+    no extra cost): ``largest_seen`` = the largest band-bucket row count
+    observed above ``report_over`` (0 when every bucket is at or below
+    it) — the input the caller's adaptive join salt is sized from. The
+    collect is bounded at ``_GUARD_COLLECT_CAP`` buckets (sorted
+    descending, so the max and the biggest oversize buckets always make
+    the cut); in the pathological case where the bound truncates the
+    oversize list, ONE extra aggregate over the already-persisted band
+    table re-collects the full oversize set."""
     from pyspark.storagelevel import StorageLevel
 
     bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     _remember_persisted(bands)
-    oversize_rows = (
-        bands.groupBy("band", "band_key")
-        .agg(F.count("*").alias("_bn"))
-        .filter(F.col("_bn") > max_bucket_rows)
-        .select("band", "band_key", "_bn",
-                F.ceil(F.col("_bn") / F.lit(max_bucket_rows))
-                .cast("int").alias("_nsub"))
-        .collect()
-    )
+    report_over = max_bucket_rows
+    if stats_out is not None:
+        report_over = min(max_bucket_rows, _SALT_REPORT_OVER)
+    counts = (bands.groupBy("band", "band_key")
+              .agg(F.count("*").alias("_bn")))
+    top = (counts.filter(F.col("_bn") > report_over)
+           .sort(F.desc("_bn"))
+           .limit(_GUARD_COLLECT_CAP)
+           .collect())
+    if stats_out is not None:
+        stats_out["largest_seen"] = int(top[0]["_bn"]) if top else 0
+        stats_out["report_over"] = report_over
+    if len(top) == _GUARD_COLLECT_CAP:
+        # the bounded collect may have truncated the oversize set — the
+        # split must see EVERY bucket over the cap (rare: >4096 oversize)
+        oversize_rows = (counts.filter(F.col("_bn") > max_bucket_rows)
+                         .collect())
+    else:
+        oversize_rows = [r for r in top if r["_bn"] > max_bucket_rows]
     LAST_GUARD_STATS.update({
         "fired": bool(oversize_rows),
         "n_oversize_buckets": len(oversize_rows),
@@ -303,7 +358,8 @@ def cap_band_buckets(bands: DataFrame, max_bucket_rows: int,
         LAST_GUARD_STATS["rows_in_oversize"])
     spark = bands.sparkSession
     oversize = spark.createDataFrame(
-        [(r["band"], r["band_key"], r["_nsub"]) for r in oversize_rows],
+        [(r["band"], r["band_key"], -(-r["_bn"] // max_bucket_rows))
+         for r in oversize_rows],
         schema=bands.select(
             "band", "band_key",
             F.lit(1).cast("int").alias("_nsub")).schema,
@@ -333,7 +389,7 @@ def lsh_band_pairs(
     max_bucket_rows: int | None = 10_000,
     target_bucket_rows: int | None = None,
     approx_n: int | None = None,
-    salt_partitions: int = 16,
+    salt_partitions: int | str = "auto",
 ) -> DataFrame:
     """Candidate pairs sharing ANY LSH band (banded OR — high recall).
 
@@ -383,29 +439,43 @@ def lsh_band_pairs(
         ])).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"),
              F.col("bb.band_key").alias("band_key"))
+    gs: dict = {}
     if max_bucket_rows is not None:
-        bands = cap_band_buckets(bands, max_bucket_rows)
+        bands = cap_band_buckets(bands, max_bucket_rows, stats_out=gs)
     # salted self-join (r6, guide §2.5 — see dedup.simhash_radius_pairs):
     # clustered embeddings land the same side of every plane, so one band
     # bucket can hold a large corpus fraction and its |bucket|² pair loop
     # is a single-task straggler; the deterministic id-salt splits that
     # loop over salt_partitions tasks while each pair still matches
-    # exactly once — the emitted pair set is unchanged.
-    s_n = max(1, int(salt_partitions))
-    a = bands.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(s_n)).cast("int"),
-    ).alias("a")
-    b = bands.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(s_n - 1))),
-    ).alias("b")
+    # exactly once — the emitted pair set is unchanged at ANY salt.
+    # "auto" (default) sizes the salt from the bucket histogram the
+    # capacity guard already collected (zero extra jobs): 1 at the
+    # default cap — the guard's bucket split already bounds the loop,
+    # and S-fold replication measured 2.5x the straggler it removes —
+    # engaging only when a caller raises the cap past the ~50M-pairs-
+    # per-task budget; with the guard off there is no histogram, so
+    # auto stays at the skew-safe maximum.
+    if salt_partitions == "auto":
+        s_n = (auto_salt_partitions(gs["largest_seen"], max_bucket_rows)
+               if "largest_seen" in gs else 16)
+    else:
+        s_n = max(1, int(salt_partitions))
+    a, b = bands.alias("a"), bands.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    if s_n > 1:  # salt 1 is the identity — keep the plan free of it
+        a = bands.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(s_n)).cast("int"),
+        ).alias("a")
+        b = bands.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(s_n - 1))),
+        ).alias("b")
+        cond = cond & (F.col("a._salt") == F.col("b._salt"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a._salt") == F.col("b._salt"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )

@@ -568,3 +568,54 @@ def test_band_guard_fire_is_loud(spark, caplog):
     lsh_band_pairs(diverse, dim=16, n_bands=4, band_bits=2,
                    max_bucket_rows=10_000).count()
     assert similarity.LAST_GUARD_STATS["fired"] is False
+
+
+def test_adaptive_salt_sizes_from_bucket_histogram(spark):
+    """r6: the self-join salt is sized from the band-bucket histogram the
+    capacity guard already collects — 1 on high-entropy corpora (a static
+    16 measured +71% replication overhead there), scaled up on skewed
+    ones — and the emitted pair set is IDENTICAL at any salt (each
+    same-bucket pair matches at exactly one salt value)."""
+    from ore_etl_spark.functions import similarity
+    from ore_etl_spark.functions.dedup import simhash_radius_pairs
+    from ore_etl_spark.functions.similarity import (auto_salt_partitions,
+                                                    lsh_band_pairs)
+
+    # sizing rule: the guard cap bounds any one bucket's pair loop, so
+    # salt stays 1 at the default cap (replication overhead measured 2.5x
+    # the straggler it would remove); it engages only when a caller
+    # raises the cap past the ~50M-pairs-per-task budget
+    assert auto_salt_partitions(0, 10_000) == 1
+    assert auto_salt_partitions(8991, 10_000) == 1   # the measured sf1 case
+    assert auto_salt_partitions(50_000, 10_000) == 1  # eff = cap = 10k
+    assert auto_salt_partitions(30_000, 40_000) == 9  # ceil(450M/50M)
+    assert auto_salt_partitions(100_000, 100_000) == 16  # clamp
+    assert auto_salt_partitions(100_000, None, max_salt=16) == 16
+
+    # output invariance across salt settings, skewed AND diverse corpora
+    n, dim = 60, 8
+    for vecs in (_clustered_vecs(n, dim), _random_vecs(n, dim, seed=9)):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        outs = [
+            {(r["id_a"], r["id_b"]) for r in
+             lsh_band_pairs(df, dim=dim, n_bands=2, band_bits=2,
+                            max_bucket_rows=25,
+                            salt_partitions=s).collect()}
+            for s in ("auto", 1, 16)
+        ]
+        assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0
+
+    docs = spark.createDataFrame(
+        [(i, "the very same boilerplate text everywhere") for i in range(40)]
+        + [(100 + i, f"unique document number {i} with words {i * 7}")
+           for i in range(10)],
+        "doc_id long, text string")
+    sh = [
+        {(r["id_a"], r["id_b"], r["hamming"]) for r in
+         simhash_radius_pairs(docs, radius=3, max_bucket_rows=25,
+                              salt_partitions=s).collect()}
+        for s in ("auto", 1, 16)
+    ]
+    assert sh[0] == sh[1] == sh[2] and len(sh[0]) > 0
