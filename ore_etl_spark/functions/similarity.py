@@ -213,15 +213,26 @@ LAST_GUARD_STATS: dict = {
 # blockers per micro-batch (fresh plan each batch) would accumulate cached
 # band tables forever. Bounded FIFO: past _MAX_CACHED_BAND_TABLES entries
 # the oldest is unpersisted. persist keeps lineage, so eviction can only
-# cost recompute, never correctness — even mid-query.
+# cost recompute, never correctness — even mid-query. The FIFO and
+# LAST_GUARD_STATS are module globals shared by concurrent pipelines
+# (backfill worker threads, the pipelined bench stats thread), so both
+# mutate under one lock — interleaved append/pop could otherwise
+# double-unpersist, and torn stats updates could misreport a guard fire.
 _MAX_CACHED_BAND_TABLES = 8
 _persisted_band_tables: list = []
 
+import threading as _threading  # noqa: E402
+
+_guard_lock = _threading.Lock()
+
 
 def _remember_persisted(df: DataFrame) -> None:
-    _persisted_band_tables.append(df)
-    while len(_persisted_band_tables) > _MAX_CACHED_BAND_TABLES:
-        old = _persisted_band_tables.pop(0)
+    with _guard_lock:
+        _persisted_band_tables.append(df)
+        evict = []
+        while len(_persisted_band_tables) > _MAX_CACHED_BAND_TABLES:
+            evict.append(_persisted_band_tables.pop(0))
+    for old in evict:  # unpersist outside the lock (it can block on RPC)
         try:
             old.unpersist(blocking=False)
         except Exception:  # session already stopped — nothing to free
@@ -338,13 +349,15 @@ def cap_band_buckets(bands: DataFrame, max_bucket_rows: int,
                          .collect())
     else:
         oversize_rows = [r for r in top if r["_bn"] > max_bucket_rows]
-    LAST_GUARD_STATS.update({
-        "fired": bool(oversize_rows),
-        "n_oversize_buckets": len(oversize_rows),
-        "rows_in_oversize": sum(r["_bn"] for r in oversize_rows),
-        "largest_bucket": max((r["_bn"] for r in oversize_rows), default=0),
-        "max_bucket_rows": max_bucket_rows,
-    })
+    with _guard_lock:
+        LAST_GUARD_STATS.update({
+            "fired": bool(oversize_rows),
+            "n_oversize_buckets": len(oversize_rows),
+            "rows_in_oversize": sum(r["_bn"] for r in oversize_rows),
+            "largest_bucket": max((r["_bn"] for r in oversize_rows),
+                                  default=0),
+            "max_bucket_rows": max_bucket_rows,
+        })
     if not oversize_rows:
         return bands.withColumn("band_key", F.col("band_key").cast("string"))
     import logging

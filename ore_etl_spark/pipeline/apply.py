@@ -136,7 +136,13 @@ class CdcApplyPipeline:
 
     def _events_with_malformed(self) -> DataFrame:
         """Source rows INCLUDING the dead ones (NULL delivery_seq), with
-        the raw line/value in ``_malformed`` where recoverable."""
+        the raw line/value in ``_malformed`` where recoverable. Only the
+        wire formats have a malformed-row notion; a parquet WAL must
+        never fall through to the Kafka-archive reader."""
+        if self.events_format == "parquet":
+            raise ValueError(
+                "parquet WALs have no malformed-row path "
+                "(quarantine_malformed_source early-returns for them)")
         if self.events_format == "jsonl":
             from ..sources.cdc_json import read_jsonl_wal
 
@@ -276,6 +282,13 @@ class CdcApplyPipeline:
         fully parallel ~3 s. On a multi-executor cluster the same reasoning
         holds: the decode is cheaper than the cache build + memory pressure.
         """
+        if bucket_slice is not None and update_global_hwm:
+            # one slice never covers the whole (lo, hi] range: publishing
+            # its seq_hi to the global watermark would make run() skip the
+            # other slices' events forever (silent data loss). Slice
+            # callers (BackfillRunner) own the watermark themselves.
+            raise ValueError(
+                "bucket_slice batches must pass update_global_hwm=False")
         if batch_id is None:
             batch_id = self.batch_id_for(self.pipeline, seq_lo, seq_hi)
             if bucket_slice is not None:

@@ -467,6 +467,11 @@ class MergeTable:
         """Manifest-level partition pruning: scan only the named buckets
         (time-travelable; ``snap`` lets an already-resolved caller like
         ``lookup`` avoid resolving twice)."""
+        if snap is not None and (version is not None or as_of_ts is not None):
+            # a pre-resolved snap silently winning over an explicit
+            # version/as_of_ts would read the wrong snapshot; _snap_for
+            # raises on conflicting selectors — match it here
+            raise ValueError("pass either snap or version/as_of_ts, not both")
         snap = snap or self._snap_for(version, as_of_ts)
         want = set(bucket_ids)
         refs = [r for r in snap["refs"] if r["bucket"] in want]

@@ -259,3 +259,23 @@ def test_concurrent_mor_batches_match_sequential(spark, tmpdir_path, wal):
     a = {tuple(r) for r in seq.table.read().select(*cols).collect()}
     b = {tuple(r) for r in con.table.read().select(*cols).collect()}
     assert a == b
+
+
+def test_api_misuse_guards(spark, tmpdir_path, wal):
+    """r6 hardening: (1) a bucket_slice batch may not publish the global
+    watermark — one slice never covers the whole range, so doing so would
+    permanently skip the other slices' events; (2) a parquet WAL must
+    never fall through to the Kafka-archive malformed-row reader; (3)
+    read_buckets rejects a pre-resolved snap passed together with
+    version/as_of_ts (the snap silently winning would read the wrong
+    snapshot)."""
+    pipe = build(spark, tmpdir_path, wal)
+    lo, hi = pipe.delivery_range()
+    with pytest.raises(ValueError, match="update_global_hwm"):
+        pipe.run_batch(lo - 1, hi, bucket_slice=(0, 2))
+    with pytest.raises(ValueError, match="parquet"):
+        pipe._events_with_malformed()
+    pipe.run(batch_span=None)
+    tbl = pipe.table
+    with pytest.raises(ValueError, match="not both"):
+        tbl.read_buckets([0], snap=tbl.snapshot(), version=tbl.version)
