@@ -73,6 +73,7 @@ class CdcApplyPipeline:
         compact_every: int | None = None,
         compact_depth: int | None = None,
         mor_fast_path: bool = False,
+        mor_append_rows_per_task: int | None = 32_000,
         events_format: str = "parquet",
         source_schema: T.StructType | None = None,
         source_options: dict | None = None,
@@ -114,6 +115,15 @@ class CdcApplyPipeline:
         self.compact_every = compact_every
         self.compact_depth = compact_depth
         self.mor_fast_path = mor_fast_path  # shuffle-free delta append
+        # fast-path delta files per batch = write tasks x n_buckets, so
+        # scan-width writes are pure file-count amplification (~100-row
+        # files at bench scale). The append is coalesced (NOT shuffled —
+        # the no-Exchange contract holds) to ceil(batch_rows / this)
+        # tasks, sized from the row count the stats pass already
+        # collected: width grows with the batch, never past the scan
+        # width, and per-file overhead amortizes ~5x (measured 2x
+        # end-to-end on the 1M-event apply). None/0 disables.
+        self.mor_append_rows_per_task = mor_append_rows_per_task
         self._batches_since_compact = 0
         self.checkpoints = CheckpointStore(f"{state_dir}/checkpoints.json")
         self.metrics = MetricsLog(f"{state_dir}/metrics.jsonl")
@@ -331,10 +341,16 @@ class CdcApplyPipeline:
         cols = [n for n, _ in TARGET_FIELDS] + ["op"]
         valid = decoded.filter(F.col("is_valid")).select(*cols, *extra)
         if self.mode == "mor":
+            coal = None
+            if self.mor_fast_path and self.mor_append_rows_per_task:
+                n_valid = sum((r["n_in"] or 0) - (r["n_bad"] or 0)
+                              for r in part_stats)
+                coal = -(-n_valid // self.mor_append_rows_per_task) or 1
             m = self.table.merge_mor(
                 valid, batch_id, touched_buckets=touched,
                 dedup_in_batch=not self.mor_fast_path,
                 bucket_shuffle=not self.mor_fast_path,
+                write_coalesce=coal,
             )
             self._batches_since_compact += 1
             due = (self.compact_every

@@ -702,6 +702,7 @@ class MergeTable:
         touched_buckets: list[int] | None = None,
         dedup_in_batch: bool = True,
         bucket_shuffle: bool = True,
+        write_coalesce: int | None = None,
     ) -> MergeMetrics:
         """Merge-on-read upsert: append deduped delta files, resolve at read.
 
@@ -713,6 +714,17 @@ class MergeTable:
         more, smaller delta files — bounded by compaction cadence. This
         makes the apply a narrow read->decode->write pipeline with zero
         shuffle, the near-linearly-scaling shape.
+
+        ``write_coalesce`` (fast path only): merge the batch into this
+        many write tasks via ``coalesce`` — NOT a shuffle; partitions are
+        concatenated in place, so the no-Exchange contract holds. Every
+        write task emits one file per bucket it holds, and a hash-spread
+        batch puts every bucket in every task, so delta files per batch
+        are ``tasks × n_buckets`` regardless of row count — scan-width
+        write parallelism is pure file-count amplification. The caller
+        sizes this from the batch's row count (r6; measured 2x on the
+        1M-event apply: per-file overhead amortizes ~5x while the
+        two-in-flight batch overlap back-fills the narrower write).
 
         The write path is decode-output -> in-batch LWW dedup (one shuffle)
         -> bucketed APPEND of rows + tombstones. No target-side scan, no
@@ -736,7 +748,7 @@ class MergeTable:
             f"merge_mor({batch_id!r})",
             lambda: self._merge_mor_attempt(
                 source, batch_id, op_col, delete_value, evolve_schema,
-                dedup_in_batch, bucket_shuffle))
+                dedup_in_batch, bucket_shuffle, write_coalesce))
 
     def _merge_mor_attempt(
         self,
@@ -747,6 +759,7 @@ class MergeTable:
         evolve_schema: bool,
         dedup_in_batch: bool,
         bucket_shuffle: bool,
+        write_coalesce: int | None = None,
     ) -> MergeMetrics:
         snap = self.snapshot()
         if self.is_committed(batch_id, snap):
@@ -784,6 +797,8 @@ class MergeTable:
         if bucket_shuffle:
             n_parts = min(max(snap["n_buckets"], 1), 256)
             src = src.repartition(n_parts, F.col(_BUCKET_COL))
+        elif write_coalesce:
+            src = src.coalesce(max(1, int(write_coalesce)))
         src.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir)
 
         written = self._list_written(out_dir, rel_dir)

@@ -109,3 +109,32 @@ def test_mor_write_amplification_is_o_batch(spark, tmpdir_path, wal):
     snap = p.table.snapshot()
     n_delta = sum(1 for r in snap["refs"] if r.get("delta"))
     assert n_delta > 8  # one delta dir per bucket per batch
+
+
+def test_fastpath_append_width_tracks_batch_rows(spark, tmpdir_path, wal):
+    """r6: the fast-path delta append is coalesced to ceil(batch_rows /
+    mor_append_rows_per_task) write tasks — delta files per batch are
+    width x touched buckets instead of scan-width x buckets (measured 2x
+    on the 1M-event apply), with NO Exchange (coalesce concatenates
+    partitions in place) and an end state identical to the uncoalesced
+    path."""
+    import glob
+
+    wide = build(spark, tmpdir_path + "/w", wal, mor_fast_path=True,
+                 mor_append_rows_per_task=None)  # disabled -> scan width
+    wide.run(batch_span=None)
+    narrow = build(spark, tmpdir_path + "/n", wal, mor_fast_path=True,
+                   mor_append_rows_per_task=10**9)  # one write task
+    narrow.run(batch_span=None)
+
+    def delta_files(pipe):
+        return len(glob.glob(f"{pipe.table.root}/**/*.parquet",
+                             recursive=True))
+
+    # one write task holds every bucket once: exactly n_buckets files
+    assert delta_files(narrow) == 8 < delta_files(wide)
+    parity(spark, narrow.table, wal)
+    cols = ["repo", "path", "commit_seq", "event_seq", "content_sha256"]
+    a = {tuple(r) for r in wide.table.read().select(*cols).collect()}
+    b = {tuple(r) for r in narrow.table.read().select(*cols).collect()}
+    assert a == b
