@@ -322,20 +322,34 @@ class CdcApplyPipeline:
         # --- quarantine (only when present; idempotent per-batch dir) ------
         # the FULL raw row is kept (not a projection) so redrive() can
         # re-decode after an upstream repair; attempts counts decode tries
-        # (reference x-retry-count, transaction-consumer.ts:145-174)
+        # (reference x-retry-count, transaction-consumer.ts:145-174).
+        # r6 (guide §2.6 overlap): the write runs on a worker thread
+        # CONCURRENTLY with the merge's own jobs (it re-scans the batch
+        # range to extract the bad rows — ~0.6 s of mostly-idle-core work
+        # the merge's serial tails can absorb) and is joined at the
+        # merge's pre-commit barrier: the quarantine must be durable
+        # BEFORE the snapshot flips, because a replay of a committed
+        # batch_id skips the batch entirely and would never re-park them.
+        quarantine_fut = None
         if qn > 0:
             # heal any interrupted redrive swap BEFORE writing: creating
             # the dir here would otherwise strand a complete .next
             # generation forever (quarantine() would never promote it)
             self._quarantine_recover()
             raw_cols = [c for c in decoded.columns if c not in DECODE_ADDED]
-            decoded.filter(~F.col("is_valid")).select(
+            bad = decoded.filter(~F.col("is_valid")).select(
                 *raw_cols,
                 F.lit("payload_decode_failed").alias("error"),
                 F.lit(1).alias("attempts"),
-            ).write.mode("overwrite").parquet(
-                f"{self.quarantine_dir}/batch_id={batch_id.replace(':', '_')}"
             )
+            qdir = f"{self.quarantine_dir}/batch_id={batch_id.replace(':', '_')}"
+            from concurrent.futures import ThreadPoolExecutor
+
+            _qpool = ThreadPoolExecutor(max_workers=1)
+            quarantine_fut = _qpool.submit(
+                lambda: bad.write.mode("overwrite").parquet(qdir))
+            _qpool.shutdown(wait=False)
+        pre_commit = quarantine_fut.result if quarantine_fut is not None else None
 
         # --- job 2: dedup + conditional-LWW MERGE + snapshot commit --------
         cols = [n for n, _ in TARGET_FIELDS] + ["op"]
@@ -345,12 +359,27 @@ class CdcApplyPipeline:
             if self.mor_fast_path and self.mor_append_rows_per_task:
                 n_valid = sum((r["n_in"] or 0) - (r["n_bad"] or 0)
                               for r in part_stats)
-                coal = -(-n_valid // self.mor_append_rows_per_task) or 1
+                per = self.mor_append_rows_per_task
+                n1 = -(-n_valid // per) or 1
+                # small-batch width floor (guide §1.2/§6): the append wall
+                # has a file-count term (~n_buckets files PER TASK, paid in
+                # parallel, so ~constant in width) plus the narrow
+                # scan->decode, which coalesce serializes onto the write
+                # tasks. Below ~8 tasks the decode serialization dominates
+                # the files saved: measured 2.9 s at width 4 vs 2.0 s at
+                # width 16 on a 100k-row batch (64 buckets). So small
+                # batches size at per/2 rows per task, capped at the width
+                # an 8-task batch would get — big batches keep the
+                # per-task sizing (their file count feeds compaction), and
+                # per=10^9-style "one task" configs still resolve to 1.
+                n2 = -(-(2 * n_valid) // per) or 1
+                coal = min(n2, max(8, n1))
             m = self.table.merge_mor(
                 valid, batch_id, touched_buckets=touched,
                 dedup_in_batch=not self.mor_fast_path,
                 bucket_shuffle=not self.mor_fast_path,
                 write_coalesce=coal,
+                pre_commit=pre_commit,
             )
             self._batches_since_compact += 1
             due = (self.compact_every
@@ -362,8 +391,17 @@ class CdcApplyPipeline:
                 self._batches_since_compact = 0
         else:
             m = self.table.merge(valid, batch_id, touched_buckets=touched,
-                                 collect_metrics=self.collect_metrics)
+                                 collect_metrics=self.collect_metrics,
+                                 pre_commit=pre_commit)
 
+        return self._finish_batch(batch_id, seq_lo, seq_hi, part_stats, qn,
+                                  m, update_global_hwm, t0)
+
+    def _finish_batch(self, batch_id: str, seq_lo: int, seq_hi: int,
+                      part_stats, qn: int, m, update_global_hwm: bool,
+                      t0: float) -> dict:
+        """Post-commit tail shared by the sequential and concurrent batch
+        paths: checkpoint watermarks, then the metrics record."""
         # checkpoint AFTER commit: replay of (lo,hi] is a snapshot-level
         # no-op. Monotone: concurrent chunk processors finish out of order
         # and must never drag a watermark hint backwards.

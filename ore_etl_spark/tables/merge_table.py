@@ -703,8 +703,17 @@ class MergeTable:
         dedup_in_batch: bool = True,
         bucket_shuffle: bool = True,
         write_coalesce: int | None = None,
+        pre_commit=None,
     ) -> MergeMetrics:
         """Merge-on-read upsert: append deduped delta files, resolve at read.
+
+        ``pre_commit``: optional zero-arg callable invoked after the data
+        write but BEFORE the snapshot CAS — the barrier for side work that
+        must be durable before the batch becomes visible (the apply
+        pipeline overlaps its quarantine write with the append and joins
+        it here; committing first would let an idempotent replay skip the
+        batch with the quarantine rows lost). An exception from it aborts
+        the commit (attempt files are dead weight, GC'able).
 
         ``dedup_in_batch=False`` + ``bucket_shuffle=False`` is the
         shuffle-free fast path: the batch is written as-is, partitioned by
@@ -748,7 +757,7 @@ class MergeTable:
             f"merge_mor({batch_id!r})",
             lambda: self._merge_mor_attempt(
                 source, batch_id, op_col, delete_value, evolve_schema,
-                dedup_in_batch, bucket_shuffle, write_coalesce))
+                dedup_in_batch, bucket_shuffle, write_coalesce, pre_commit))
 
     def _merge_mor_attempt(
         self,
@@ -760,6 +769,7 @@ class MergeTable:
         dedup_in_batch: bool,
         bucket_shuffle: bool,
         write_coalesce: int | None = None,
+        pre_commit=None,
     ) -> MergeMetrics:
         snap = self.snapshot()
         if self.is_committed(batch_id, snap):
@@ -802,6 +812,8 @@ class MergeTable:
         src.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir)
 
         written = self._list_written(out_dir, rel_dir)
+        if pre_commit is not None:
+            pre_commit()  # must be durable before the snapshot flips
 
         # delta semantics: APPEND refs (never drop prior refs)
         new_snap, skipped = self._cas_commit(
@@ -952,8 +964,13 @@ class MergeTable:
         evolve_schema: bool = True,
         collect_metrics: bool = True,
         touched_buckets: list[int] | None = None,
+        pre_commit=None,
     ) -> MergeMetrics:
         """Conditional-LWW MERGE of `source` into the table.
+
+        ``pre_commit``: zero-arg callable run after the bucket write,
+        before the snapshot CAS (see ``merge_mor`` — the quarantine-write
+        overlap barrier).
 
         `source` must contain key + version columns; duplicates per key are
         resolved first (in-batch LWW — mandatory before any keyed merge,
@@ -976,7 +993,7 @@ class MergeTable:
             f"merge({batch_id!r})",
             lambda: self._merge_attempt(
                 source, batch_id, op_col, delete_value, evolve_schema,
-                collect_metrics, touched_buckets))
+                collect_metrics, touched_buckets, pre_commit))
 
     def _merge_attempt(
         self,
@@ -987,6 +1004,7 @@ class MergeTable:
         evolve_schema: bool,
         collect_metrics: bool,
         touched_buckets: list[int] | None,
+        pre_commit=None,
     ) -> MergeMetrics:
         snap = self.snapshot()
         if self.is_committed(batch_id, snap):
@@ -1120,6 +1138,9 @@ class MergeTable:
                 "touched_buckets — it must be a superset of the source's buckets "
                 "(retained old refs for those buckets would silently duplicate keys)"
             )
+
+        if pre_commit is not None:
+            pre_commit()  # must be durable before the snapshot flips
 
         new_snap, skipped = self._cas_commit(
             snap, batch_id, self._make_refs(snap, written), set(touched))
