@@ -378,11 +378,20 @@ def q_join_two_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         _dsum("o_totalprice").alias("total_spent"),
     )
+    # r6 (guide §2.3: aggregate before you shuffle): collapse lineitem to
+    # one exact-decimal partial sum per order BEFORE the orders join —
+    # the join then shuffles ~N_orders rows instead of every lineitem row
+    # (map-side combine already collapses co-located order lines on the
+    # scan side). Decimal sums are exact and associative, so
+    # round(sum(partial sums)) is bit-identical to the flat
+    # round(sum(lines)) the oracle computes.
+    li_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_q"))
     li_agg = (
-        li.join(orders.select("o_orderkey", "o_custkey"),
-                li.l_orderkey == F.col("o_orderkey"))
+        li_per_order.join(orders.select("o_orderkey", "o_custkey"),
+                          F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(_dsum("l_quantity").alias("total_qty"))
+        .agg(F.round(F.sum("_q"), 4).cast("double").alias("total_qty"))
     )
     return o_agg.join(li_agg, "o_custkey", "outer").select(
         "o_custkey", "n_orders", "total_spent", "total_qty"

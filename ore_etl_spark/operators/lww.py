@@ -47,7 +47,20 @@ def dedupe_lww(
         F.struct(*payload).alias("_row"),
     )
     won = df.groupBy(*key_cols).agg(F.max(packed).alias("_win"))
-    return won.select(*[F.col(f"_win._row.{c}").alias(c) for c in payload])
+    # key columns come from the GROUPING attributes, not the struct (the
+    # values are identical — every row in a group shares its key, and
+    # groupBy's null-safe grouping matches the struct's carried NULLs).
+    # This keeps the aggregation's hash partitioning and sort order
+    # visible downstream, so a keyed join right after the dedup (the COW
+    # MERGE shape) reuses this exchange instead of re-shuffling and
+    # re-sorting the whole batch (guide §2.4: two operations keyed the
+    # same way share one exchange — measured one full Exchange + Sort of
+    # the batch payload removed per COW merge).
+    key_set = set(key_cols)
+    return won.select(*[
+        F.col(c) if c in key_set else F.col(f"_win._row.{c}").alias(c)
+        for c in payload
+    ])
 
 
 def dedupe_lww_window(

@@ -79,6 +79,9 @@ from pyspark.sql import types as T
 
 _BUCKET_COL = "_bucket"
 _DELETED_COL = "_deleted"
+# merge-internal struct-of-key-columns join key (never written): the LWW
+# dedup groups by it and the resolve join joins on it, sharing one exchange
+_JK_COL = "_jk"
 # A conflict is only raised when a PEER writer committed during our attempt
 # (classic optimistic concurrency: every retry implies system-wide
 # progress), so the retries a writer can need is bounded by its peers'
@@ -1024,17 +1027,50 @@ class MergeTable:
         target_schema = self.schema(snap)
 
         # --- in-batch LWW dedup (one survivor per key) -------------------
+        # r6 (guide §2.4: share one exchange): the dedup groups by a
+        # single STRUCT of the key columns (struct equality/grouping is
+        # per-field null-safe, so the groups — and the surviving rows —
+        # are identical to dedupe_lww's multi-column form), the struct
+        # rides through the alignment as a pass-through column, and the
+        # resolve join below joins ON that struct attribute with plain
+        # equality. The old shape joined with per-column eqNullSafe, which
+        # Spark rewrites to (coalesce(k, default), isnull(k)) join keys —
+        # derived expressions the dedup's hash partitioning can never
+        # satisfy, so the whole deduped batch re-shuffled AND re-sorted
+        # between the aggregate and the join. With the struct as both the
+        # grouping attribute and the join key, EnsureRequirements reuses
+        # the dedup's exchange and the sort-aggregate's ordering: one
+        # full Exchange + Sort of the batch payload removed per merge.
         from ..operators.lww import dedupe_lww
 
-        src = dedupe_lww(source, key_cols, version_cols)
+        payload = [f.name for f in source.schema.fields]
+        packed = F.struct(
+            *[F.col(c).alias(f"_v{i}") for i, c in enumerate(version_cols)],
+            F.struct(*payload).alias("_row"),
+        )
+        src = (
+            source.groupBy(
+                F.struct(*[F.col(c) for c in key_cols]).alias(_JK_COL))
+            .agg(F.max(packed).alias("_win"))
+            .select(F.col(_JK_COL),
+                    *[F.col(f"_win._row.{c}").alias(c) for c in payload])
+        )
         src = src.withColumn(
             _DELETED_COL,
             (F.col(op_col) == F.lit(delete_value)) if has_op else F.lit(False),
         )
+        # the align target carries _JK_COL with src's OWN struct type so
+        # _align passes the attribute through uncast (a cast would break
+        # the partitioning's expression identity and re-introduce the
+        # exchange); when key-column types differ across sides (key-type
+        # widening), the join inserts the cast instead — correct either
+        # way, the reuse is just lost for that rare batch
+        jk_field = src.schema[_JK_COL]
         src = self._align(
             src,
             T.StructType(target_schema.fields
-                         + [T.StructField(_DELETED_COL, T.BooleanType(), True)]),
+                         + [T.StructField(_DELETED_COL, T.BooleanType(), True),
+                            jk_field]),
         )
         src = src.withColumn(_BUCKET_COL, self.bucket_expr(snap))
 
@@ -1058,16 +1094,21 @@ class MergeTable:
             # explode the outer join — resolve them first
             tgt = dedupe_lww(tgt, key_cols, version_cols)
         tgt = tgt.withColumn(_BUCKET_COL, self.bucket_expr(snap))
+        tgt = tgt.withColumn(_JK_COL,
+                             F.struct(*[F.col(c) for c in key_cols]))
 
         # --- resolve: full outer join on key, conditional LWW ------------
         # presence markers + null-safe key equality: key columns MAY hold
         # NULL (e.g. a view table grouped on a nullable column) — deriving
         # presence from key nullability would mis-classify those rows and
-        # plain equality would never match them
+        # plain equality would never match them. Equality on the key
+        # STRUCT is per-field null-safe (verified: struct(NULL,'x') =
+        # struct(NULL,'x') is true) and lets the join reuse the dedup's
+        # exchange — see the dedup comment above.
         src = src.withColumn("_s_mark", F.lit(True))
         tgt = tgt.withColumn("_t_mark", F.lit(True))
         j = src.alias("s").join(tgt.alias("t"),
-                                keys_eq_null_safe("s", "t", key_cols),
+                                F.col(f"s.{_JK_COL}") == F.col(f"t.{_JK_COL}"),
                                 "full_outer")
 
         s_ver = F.struct(*[F.col(f"s.{c}") for c in version_cols])
