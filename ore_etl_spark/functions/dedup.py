@@ -382,13 +382,36 @@ def simhash_radius_pairs(
         ).alias("b")
         cond = cond & (F.col("a._salt") == F.col("b._salt"))
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-    return (
-        a.join(b, cond)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                ham.alias("hamming"))
-        .filter(F.col("hamming") <= radius)
-        .distinct()
-    )
+    joined = a.join(b, cond)
+    # pair dedup (guide §2.4; mirrors similarity.lsh_band_pairs): a pair
+    # within the radius matches in SEVERAL bands (that is the pigeonhole
+    # guarantee), and the trailing .distinct() shuffled every surviving
+    # row to collapse them. Both signatures are in the joined row, so the
+    # FIRST matching band is a cheap bit expression and each pair emits
+    # exactly once by construction — same pair set, no dedup exchange.
+    # Only sound while band keys are raw signature slices: a fired
+    # capacity guard splits buckets by id hash, which can separate a pair
+    # in its first matching band while a later band still joins it, so
+    # the guard case keeps the distinct.
+    guard_clean = (max_bucket_rows is None) or not gs.get("fired", True)
+    out = joined.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        ham.alias("hamming"),
+        F.col("a.band").alias("_band"),
+        F.col("a.sig").alias("_sa"), F.col("b.sig").alias("_sb"),
+    ).filter(F.col("hamming") <= radius)
+    if guard_clean:
+        first_match = F.array_position(
+            F.array(*[
+                F.shiftright(F.col("_sa"), bb * band_bits)
+                .bitwiseAND(F.lit(mask))
+                == F.shiftright(F.col("_sb"), bb * band_bits)
+                .bitwiseAND(F.lit(mask))
+                for bb in range(n_bands)
+            ]), True) - 1
+        return (out.filter(F.col("_band") == first_match)
+                .select("id_a", "id_b", "hamming"))
+    return out.select("id_a", "id_b", "hamming").distinct()
 
 
 def _driver_union_find(pairs) -> dict:

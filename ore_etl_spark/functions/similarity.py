@@ -349,6 +349,12 @@ def cap_band_buckets(bands: DataFrame, max_bucket_rows: int,
                          .collect())
     else:
         oversize_rows = [r for r in top if r["_bn"] > max_bucket_rows]
+    if stats_out is not None:
+        # whether any bucket was split — callers use this to decide if
+        # first-matching-band pair emission is sound (a split bucket can
+        # drop individual band occurrences, so only the distinct-based
+        # dedup is correct once the guard fires)
+        stats_out["fired"] = bool(oversize_rows)
     with _guard_lock:
         LAST_GUARD_STATS.update({
             "fired": bool(oversize_rows),
@@ -407,9 +413,11 @@ def lsh_band_pairs(
     """Candidate pairs sharing ANY LSH band (banded OR — high recall).
 
     Uses n_bands × band_bits hyperplanes; each band's bits form a bucket
-    key; candidates are an equi-join on (band, band_key). Only the two id
-    columns shuffle through the join — vectors are joined back by the
-    caller. Returns distinct (id_a, id_b) with id_a < id_b.
+    key; candidates are an equi-join on (band, band_key). Only the id and
+    the short signature string shuffle through the join — vectors are
+    joined back by the caller. Returns distinct (id_a, id_b) with
+    id_a < id_b (unique by construction via first-matching-band emission
+    when the capacity guard is clean; via an explicit dedup otherwise).
 
     Band-capacity guard (round 4): the candidate join's cost is
     Σ|bucket|², and with band_bits small relative to N a low-entropy
@@ -438,19 +446,32 @@ def lsh_band_pairs(
     if target_bucket_rows is not None:
         n = approx_n if approx_n is not None else df.count()
         band_bits = max(band_bits, band_bits_needed(n, target_bucket_rows))
-    bands = df.select(
+    # the full signature (all bands' bits, one short string) rides along
+    # so the candidate join can test OTHER bands' keys per joined row —
+    # the first-matching-band emission below needs it. It is computed
+    # ONCE per row in its own projection (the sign bits are HOF
+    # aggregates, which sit outside codegen subexpression elimination —
+    # rebuilding a band's bits in the explode would re-run every plane
+    # dot); band keys are substrings of the signature attribute, which is
+    # character-identical to concatenating that band's sign bits.
+    sigged = df.select(
         F.col(id_col).alias("id"),
+        F.concat_ws("", *[
+            _sign_bit(F.col(vec_col), p, dim)
+            for p in range(n_bands * band_bits)
+        ]).alias("sig"),
+    )
+    bands = sigged.select(
+        "id", "sig",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws("", *[
-                    _sign_bit(F.col(vec_col), b * band_bits + j, dim)
-                    for j in range(band_bits)
-                ]).alias("band_key"),
+                F.substring(F.col("sig"), b * band_bits + 1,
+                            band_bits).alias("band_key"),
             )
             for b in range(n_bands)
         ])).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"),
+    ).select("id", "sig", F.col("bb.band").alias("band"),
              F.col("bb.band_key").alias("band_key"))
     gs: dict = {}
     if max_bucket_rows is not None:
@@ -487,11 +508,33 @@ def lsh_band_pairs(
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(s_n - 1))),
         ).alias("b")
         cond = cond & (F.col("a._salt") == F.col("b._salt"))
-    return (
-        a.join(b, cond)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    pairs = a.join(b, cond).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        F.col("a.band").alias("_band"),
+        F.col("a.sig").alias("_sa"), F.col("b.sig").alias("_sb"))
+    # pair dedup (guide §2.4: remove shuffles outright): a pair matching
+    # in SEVERAL bands used to be deduped by a full .distinct() shuffle of
+    # every candidate row. With both signatures in the joined row, the
+    # FIRST matching band is a cheap per-row expression, so each pair is
+    # emitted exactly once by construction — same pair set, no dedup
+    # exchange. Sound only while band keys are raw signature slices: once
+    # the capacity guard splits a bucket, a pair can be separated in its
+    # first matching band's sub-buckets yet joined in a later band, and
+    # the first-match filter would drop it — so a fired guard keeps the
+    # distinct-based dedup.
+    guard_clean = (max_bucket_rows is None) or not gs.get("fired", True)
+    if n_bands == 1:
+        return pairs.select("id_a", "id_b")
+    if guard_clean:
+        first_match = F.array_position(
+            F.array(*[
+                F.substring(F.col("_sa"), bb * band_bits + 1, band_bits)
+                == F.substring(F.col("_sb"), bb * band_bits + 1, band_bits)
+                for bb in range(n_bands)
+            ]), True) - 1
+        return (pairs.filter(F.col("_band") == first_match)
+                .select("id_a", "id_b"))
+    return pairs.select("id_a", "id_b").distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -619,3 +619,83 @@ def test_adaptive_salt_sizes_from_bucket_histogram(spark):
         for s in ("auto", 1, 16)
     ]
     assert sh[0] == sh[1] == sh[2] and len(sh[0]) > 0
+
+
+def test_first_match_band_emission_equals_distinct_dedup(spark):
+    """r6: with a clean capacity guard, banded blockers emit each pair
+    from its FIRST matching band instead of deduping multi-band matches
+    with a .distinct() shuffle. The emitted pair set must equal the
+    banding semantics computed independently (driver-side signatures +
+    brute-force band comparison), and a FIRED guard must fall back to the
+    distinct-based dedup without losing the capped-subset soundness."""
+    from ore_etl_spark.functions.dedup import (simhash_signatures_agg,
+                                               simhash_radius_pairs)
+    from ore_etl_spark.functions.similarity import (lsh_band_pairs,
+                                                    query_signature)
+
+    # --- hyperplane LSH: engine pairs == python banding oracle ----------
+    n, dim, n_bands, band_bits = 80, 8, 4, 2
+    vecs = _random_vecs(n, dim, seed=11)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    sigs = [query_signature(v, n_bands * band_bits) for v in vecs]
+
+    def bands_of(s):
+        return [s[b * band_bits:(b + 1) * band_bits] for b in range(n_bands)]
+
+    expected = {
+        (i, j)
+        for i in range(n) for j in range(i + 1, n)
+        if any(x == y for x, y in zip(bands_of(sigs[i]), bands_of(sigs[j])))
+    }
+    got = {(r["id_a"], r["id_b"]) for r in
+           lsh_band_pairs(df, dim=dim, n_bands=n_bands, band_bits=band_bits,
+                          max_bucket_rows=10_000).collect()}
+    assert got == expected and len(got) > 0
+    # multi-band duplicates must exist in this corpus for the test to
+    # mean anything (otherwise first-match vs distinct is vacuous)
+    multi = sum(
+        1 for i, j in expected
+        if sum(x == y for x, y in zip(bands_of(sigs[i]), bands_of(sigs[j]))) > 1)
+    assert multi > 0
+    # exactly-once emission: no duplicate rows without any distinct
+    rows = lsh_band_pairs(df, dim=dim, n_bands=n_bands, band_bits=band_bits,
+                          max_bucket_rows=10_000).collect()
+    assert len(rows) == len(got)
+
+    # --- simhash radius: engine pairs == python banding oracle ----------
+    docs = spark.createDataFrame(
+        [(i, f"shared words alpha beta gamma delta {i % 5} {i % 7}")
+         for i in range(60)],
+        "doc_id long, text string")
+    radius, sn_bands, bits = 3, 4, 16
+    sh_sigs = {r["id"]: r["sig"] for r in
+               simhash_signatures_agg(docs, bits=bits).collect()}
+    bb = bits // sn_bands
+    mask = (1 << bb) - 1
+
+    def sh_bands(s):
+        return [(s >> (b * bb)) & mask for b in range(sn_bands)]
+
+    exp = set()
+    for i in sh_sigs:
+        for j in sh_sigs:
+            if i < j and any(x == y for x, y in
+                             zip(sh_bands(sh_sigs[i]), sh_bands(sh_sigs[j]))):
+                h = bin(sh_sigs[i] ^ sh_sigs[j]).count("1")
+                if h <= radius:
+                    exp.add((i, j, h))
+    out = simhash_radius_pairs(docs, radius=radius, n_bands=sn_bands,
+                               bits=bits, max_bucket_rows=10_000).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in out} == exp
+    assert len(out) == len(exp) and len(exp) > 0  # exactly-once, no dups
+
+    # --- fired guard falls back to distinct (subset, still deduped) -----
+    clustered = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_clustered_vecs(120, dim))],
+        "vec_id long, embedding array<double>")
+    fired = lsh_band_pairs(clustered, dim=dim, n_bands=2, band_bits=2,
+                           max_bucket_rows=30).collect()
+    fired_set = {(r["id_a"], r["id_b"]) for r in fired}
+    assert len(fired) == len(fired_set) > 0  # deduped even when split
