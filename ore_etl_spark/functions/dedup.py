@@ -447,7 +447,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
-    driver_finish_edges: int | None = 100_000,
+    driver_finish_edges: int | None = 400_000,
 ) -> DataFrame:
     """Connected components over a pair list via alternating large-star /
     small-star contraction (Kiveris et al., "Connected Components in
@@ -475,8 +475,12 @@ def connected_components(
     geometrically, so the LAST rounds are always tiny and pure barrier
     cost — ~0.4 s/round to shuffle a few hundred rows at 32 cores. Once
     the (exactly counted) edge set fits under this bound, the remainder
-    is finished with exact union-find on the driver (a few MB at the
-    100k default) instead of paying 3–5 more distributed rounds. At
+    is finished with exact union-find on the driver (≤ ~10 MB at the
+    400k default — raised from 100k in r6: the sf1 bench graph lands at
+    ~160k round-0 edges, and an interleaved A/B measured the collect +
+    union-find ~0.2-0.3 s cheaper and lower-variance than the one extra
+    contraction round the lower threshold forced) instead of paying
+    more distributed rounds. At
     100 TB the big early rounds still run distributed; the hybrid only
     replaces the contraction TAIL, and each contraction round preserves
     the component partition (Kiveris Lemma 1–2), so union-find on round
